@@ -1,0 +1,3 @@
+from .schedule import DiffusionSchedule, diffusion_schedule, schedule_from_cfg
+from .loss import training_loss
+from .sampling import sampling

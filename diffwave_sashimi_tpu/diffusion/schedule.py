@@ -1,0 +1,70 @@
+"""DDPM diffusion schedule as a frozen PyTree of JAX arrays.
+
+Numerical parity with the reference ``calc_diffusion_hyperparams``
+(reference: utils.py:121-151): linear beta schedule, cumulative-product
+alpha-bar, and ``Sigma = sqrt(beta_tilde)`` with
+``beta_tilde_t = beta_t * (1 - abar_{t-1}) / (1 - abar_t)`` (``beta_tilde_0 =
+beta_0``).  The ``fast``/``beta`` override replaces the linear schedule with an
+explicit beta list for few-step inference (reference: utils.py:133-135).
+
+Unlike the reference dict of CUDA tensors, this is a NamedTuple of device
+arrays that jit/scan close over directly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class DiffusionSchedule(NamedTuple):
+    T: int                 # number of diffusion steps (static)
+    beta: jnp.ndarray      # (T,) noise variances
+    alpha: jnp.ndarray     # (T,) 1 - beta
+    alpha_bar: jnp.ndarray  # (T,) cumprod of alpha
+    sigma: jnp.ndarray     # (T,) reverse-process noise scale sqrt(beta_tilde)
+
+
+def diffusion_schedule(T: int, beta_0: float, beta_T: float,
+                       beta: Optional[Sequence[float]] = None,
+                       fast: bool = False,
+                       dtype=jnp.float32) -> DiffusionSchedule:
+    """Build the schedule. Computed in float64 numpy, stored at ``dtype``.
+
+    The reference computes in float32 torch; we use f64 intermediates (the
+    cumulative product over 200 terms is the only place it matters) and cast
+    once, which agrees with the reference to f32 roundoff.
+    """
+    if fast and beta is not None:
+        b = np.asarray(beta, dtype=np.float64)
+        T = len(b)
+    else:
+        b = np.linspace(beta_0, beta_T, T, dtype=np.float64)
+
+    a = 1.0 - b
+    abar = np.cumprod(a)
+    beta_tilde = b.copy()
+    # beta_tilde_t = beta_t * (1 - abar_{t-1}) / (1 - abar_t); t=0 keeps beta_0.
+    beta_tilde[1:] = b[1:] * (1.0 - abar[:-1]) / (1.0 - abar[1:])
+    sigma = np.sqrt(beta_tilde)
+
+    return DiffusionSchedule(
+        T=int(T),
+        beta=jnp.asarray(b, dtype=dtype),
+        alpha=jnp.asarray(a, dtype=dtype),
+        alpha_bar=jnp.asarray(abar, dtype=dtype),
+        sigma=jnp.asarray(sigma, dtype=dtype),
+    )
+
+
+def schedule_from_cfg(diffusion_cfg, fast: bool = False) -> DiffusionSchedule:
+    """Build from a ``diffusion:`` config block (keys T, beta_0, beta_T, beta)."""
+    return diffusion_schedule(
+        T=int(diffusion_cfg["T"]),
+        beta_0=float(diffusion_cfg["beta_0"]),
+        beta_T=float(diffusion_cfg["beta_T"]),
+        beta=diffusion_cfg.get("beta"),
+        fast=fast,
+    )

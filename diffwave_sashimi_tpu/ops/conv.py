@@ -1,0 +1,152 @@
+"""Conv/linear primitives in NCL layout with torch-parity initialization.
+
+The reference wraps every conv in ``nn.utils.weight_norm`` and then calls
+``kaiming_normal_`` on the materialized weight (reference: models/wavenet.py:
+16-26).  In torch that second call is a silent no-op: weight_norm's forward
+pre-hook recomputes ``W = g * v / ||v||`` from the *original* default-init
+``v`` on every forward, discarding the kaiming values.  The effective
+parameterization the reference actually trains with is therefore:
+
+    v ~ U(-1/sqrt(fan_in), +1/sqrt(fan_in))   (torch Conv1d default init)
+    g = ||v||_2 per output channel
+    W = g * v / ||v||   (== v at init)
+    b ~ U(-1/sqrt(fan_in), +1/sqrt(fan_in))
+
+We reproduce exactly that: a weight-normalized conv whose ``v`` uses the torch
+default uniform init and whose ``g`` starts at the per-row norm of ``v``.
+
+All convs here take activations shaped (B, C, L) — the reference layout, which
+is also FFT-native for the S4 path.  1x1 convs lower to a single MXU matmul;
+k=3 dilated convs use ``lax.conv_general_dilated`` with NCH dimension numbers.
+Matmul accumulation is always f32 (``preferred_element_type``) regardless of
+the activation dtype (bf16 on the fast path).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def torch_uniform_init(fan_in: int) -> Callable:
+    """torch's default kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(rng, shape, dtype=jnp.float32):
+        return jax.random.uniform(rng, shape, dtype, -bound, bound)
+
+    return init
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalized Conv1d on (B, C, L) activations.
+
+    Equivalent to the reference ``Conv`` module (models/wavenet.py:16-26,
+    models/sashimi.py:84-93): 'same' padding of ``dilation * (k - 1) // 2``.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32        # activation/compute dtype
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        fan_in = self.in_channels * self.kernel_size
+        v = self.param(
+            "v", torch_uniform_init(fan_in),
+            (self.out_channels, self.in_channels, self.kernel_size),
+            self.param_dtype)
+        g = self.param(
+            "g",
+            lambda rng, shape: jnp.sqrt(
+                jnp.sum(jnp.square(v), axis=(1, 2))).astype(self.param_dtype),
+            (self.out_channels,))
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(1, 2), keepdims=True))
+        w = (g[:, None, None] / norm) * v  # (O, I, K)
+
+        y = conv1d_ncl(x.astype(self.dtype), w.astype(self.dtype),
+                       dilation=self.dilation)
+        if self.use_bias:
+            b = self.param("b", torch_uniform_init(fan_in),
+                           (self.out_channels,), self.param_dtype)
+            y = y + b.astype(self.dtype)[None, :, None]
+        return y
+
+
+class ZeroConv1d(nn.Module):
+    """1x1 conv with zero-initialized weight and bias (ref wavenet.py:31-40)."""
+
+    in_channels: int
+    out_channels: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("w", nn.initializers.zeros,
+                       (self.out_channels, self.in_channels), self.param_dtype)
+        b = self.param("b", nn.initializers.zeros,
+                       (self.out_channels,), self.param_dtype)
+        y = jnp.einsum("bcl,oc->bol", x.astype(self.dtype), w.astype(self.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y + b.astype(jnp.float32)[None, :, None]).astype(self.dtype)
+
+
+class TorchLinear(nn.Module):
+    """nn.Linear with torch default init (U(+-1/sqrt(fan_in)))."""
+
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("w", torch_uniform_init(self.in_features),
+                       (self.out_features, self.in_features), self.param_dtype)
+        y = jnp.einsum("...i,oi->...o", x.astype(self.dtype),
+                       w.astype(self.dtype),
+                       preferred_element_type=jnp.float32)
+        if self.use_bias:
+            b = self.param("b", torch_uniform_init(self.in_features),
+                           (self.out_features,), self.param_dtype)
+            y = y + b.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def conv1d_ncl(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
+               stride: int = 1) -> jnp.ndarray:
+    """1-D convolution on (B, C, L) with (O, I, K) weights, 'same'-style pad.
+
+    For k == 1 this is a pure channel matmul (one MXU contraction, no conv op).
+    """
+    k = w.shape[-1]
+    if k == 1 and stride == 1:
+        y = jnp.einsum("bcl,oc->bol", x, w[:, :, 0],
+                       preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+    pad = dilation * (k - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(pad, pad)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(x.dtype)
+
+
+def swish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(x)

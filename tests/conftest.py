@@ -1,0 +1,66 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+The axon TPU plugin (sitecustomize) pins ``jax_platforms='axon,cpu'``; tests
+must run on the host CPU (fast, deterministic, and able to emulate an
+8-device mesh for sharding tests — the TPU answer to multi-node testing the
+reference lacks entirely, see SURVEY.md §4).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def torch_ref():
+    """Import the reference torch implementation, patched to run on CPU.
+
+    - ``.cuda()`` on tensors/modules becomes identity.
+    - ``pytorch_lightning`` (only used for rank_zero_only logging in
+      models/s4.py:11) is stubbed.
+    - The reference's vendored ``cauchy_naive`` fallback is missing the
+      conjugate-pair sum present upstream (models/s4.py:109-116 vs the
+      HazyResearch original) — tests that exercise the S4 oracle patch in a
+      corrected version so the oracle matches the CUDA/pykeops semantics.
+    """
+    torch = pytest.importorskip("torch")
+
+    # Stub pytorch_lightning.utilities.rank_zero_only
+    import types
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+        util = types.ModuleType("pytorch_lightning.utilities")
+        util.rank_zero_only = lambda fn: fn
+        pl.utilities = util
+        sys.modules["pytorch_lightning"] = pl
+        sys.modules["pytorch_lightning.utilities"] = util
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+
+    import models as ref_models  # reference package
+    import models.s4 as ref_s4
+
+    # Fix the vendored cauchy_naive bug (missing conjugate pairs) so the
+    # reference oracle computes what its CUDA kernel computes.
+    def cauchy_naive_fixed(v, z, w):
+        v = torch.cat([v, v.conj()], dim=-1)
+        w = torch.cat([w, w.conj()], dim=-1)
+        cauchy_matrix = v.unsqueeze(-1) / (z.unsqueeze(-2) - w.unsqueeze(-1))
+        return torch.sum(cauchy_matrix, dim=-2)
+
+    ref_s4.cauchy_naive = cauchy_naive_fixed
+
+    return types.SimpleNamespace(torch=torch, models=ref_models, s4=ref_s4)
