@@ -1,0 +1,306 @@
+"""SaShiMi backbone: S4-based UNet eps-prediction network.
+
+Architecture parity with the reference (models/sashimi.py:188-327):
+
+  init 1x1 conv + ReLU
+  -> down stages: per pool factor p, [n_layers DiffWaveBlocks if unet] then
+     DownPool (reshape (B,H,L) -> (B,H*p,L/p) + 1x1 conv to H*expand)
+  -> center: n_layers blocks (+ center skip)
+  -> up stages: UpPool + n_layers blocks, with UNet skip connections from the
+     ``outputs`` stack
+  -> TransposedLN -> 1x1 conv -> ReLU -> zero-init 1x1 conv
+
+DiffWaveBlock (ref models/sashimi.py:113-184):
+  y = norm1(x); y += fc_t(embed); y = S4_bidirectional(y);
+  [conditional: y += mel_conv(upsampled mel)]; x = x + y;
+  y = norm2(x); y = FF(x); out = x + y
+
+TransposedLN (ref :11-20) normalizes over the CHANNEL axis per position with
+scalar trainable (m, s).
+
+TPU design notes: all pooling is pure reshapes + MXU matmuls; every block's
+S4 kernel is a pure function of parameters, exposed via
+:meth:`compute_kernels` so the sampling scan computes them once for all T
+diffusion steps.  The UNet halves sequence length 4x per stage, so the
+deepest (widest) stages run at L/16 — the reference's algorithmic answer to
+long sequences, preserved here (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.conv import WNConv1d, ZeroConv1d, TorchLinear, swish
+from ..ops.mel_upsample import MelUpsampler
+from .embedding import diffusion_step_embedding
+from .s4 import S4
+
+Dtype = Any
+
+
+class TransposedLN(nn.Module):
+    """LayerNorm over the channel (sublane) axis with scalar affine (m, s)."""
+
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        m = self.param("m", nn.initializers.zeros, (1,), self.param_dtype)
+        s = self.param("s", nn.initializers.ones, (1,), self.param_dtype)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-2, keepdims=True)
+        # torch.std_mean(unbiased=False): population std
+        std = jnp.sqrt(jnp.var(x32, axis=-2, keepdims=True) + 0.0)
+        y = (s.astype(jnp.float32) / std) * (x32 - mean + m.astype(jnp.float32))
+        return y.astype(x.dtype)
+
+
+class DownPool(nn.Module):
+    """(B, H, L) -> (B, H_out, L/pool): reshape + weight-normed 1x1 conv."""
+
+    d_input: int
+    d_output: int
+    pool: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, L = x.shape
+        s = self.pool
+        # '... h (l s) -> ... (h s) l' : h-major stacking of the s phases
+        x = x.reshape(B, H, L // s, s)
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(B, H * s, L // s)
+        return WNConv1d(self.d_input * s, self.d_output, kernel_size=1,
+                        name="linear", dtype=self.dtype,
+                        param_dtype=self.param_dtype)(x)
+
+
+class UpPool(nn.Module):
+    """(B, H_in, L) -> (B, H_out, L*pool): 1x1 conv + inverse reshape."""
+
+    d_input: int
+    d_output: int
+    pool: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = self.pool
+        x = WNConv1d(self.d_input, self.d_output * s, kernel_size=1,
+                     name="linear", dtype=self.dtype,
+                     param_dtype=self.param_dtype)(x)
+        B, Hs, L = x.shape
+        H = Hs // s
+        # '... (h s) l -> ... h (l s)'
+        x = x.reshape(B, H, s, L)
+        return jnp.transpose(x, (0, 1, 3, 2)).reshape(B, H, L * s)
+
+
+class DiffWaveBlock(nn.Module):
+    d_model: int
+    L: int
+    ff: int = 2
+    diffusion_step_embed_dim_out: int = 512
+    unconditional: bool = True
+    mel_upsample: Sequence[int] = (16, 16)
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.fc_t = TorchLinear(self.diffusion_step_embed_dim_out,
+                                self.d_model, name="fc_t", **kw)
+        self.s4 = S4(d_model=self.d_model, l_max=self.L, bidirectional=True,
+                     name="s4", **kw)
+        self.norm1 = TransposedLN(name="norm1", **kw)
+        self.norm2 = TransposedLN(name="norm2", **kw)
+        self.ff1 = WNConv1d(self.d_model, self.ff * self.d_model,
+                            kernel_size=1, name="ff1", **kw)
+        self.ff2 = WNConv1d(self.ff * self.d_model, self.d_model,
+                            kernel_size=1, name="ff2", **kw)
+        if not self.unconditional:
+            self.mel_upsampler = MelUpsampler(tuple(self.mel_upsample),
+                                              name="mel_upsampler", **kw)
+            self.mel_conv = WNConv1d(80, self.d_model, kernel_size=1,
+                                     name="mel_conv", **kw)
+
+    def __call__(self, x: jnp.ndarray, step_embed: jnp.ndarray,
+                 mel_spec: Optional[jnp.ndarray] = None,
+                 kernel: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        y = self.norm1(x)
+        y = y + self.fc_t(step_embed)[:, :, None]
+        y = self.s4(y, kernel=kernel, train=train)
+        if mel_spec is not None:
+            assert not self.unconditional
+            mel = self.mel_upsampler(mel_spec, y.shape[-1])
+            y = y + self.mel_conv(mel)
+        x = x + y
+        y = self.norm2(x)
+        y = self.ff2(jax.nn.gelu(self.ff1(y), approximate=False))
+        return x + y
+
+    def compute_kernel(self, L: int) -> jnp.ndarray:
+        return self.s4.compute_kernel(L)
+
+
+class Sashimi(nn.Module):
+    """eps_theta((x_t, t), mel) with the reference constructor surface."""
+
+    in_channels: int = 1
+    out_channels: int = 1
+    d_model: int = 64
+    n_layers: int = 8
+    pool: Sequence[int] = (4, 4)
+    expand: int = 2
+    ff: int = 2
+    unet: bool = True
+    diffusion_step_embed_dim_in: int = 128
+    diffusion_step_embed_dim_mid: int = 512
+    diffusion_step_embed_dim_out: int = 512
+    unconditional: bool = True
+    mel_upsample: Sequence[int] = (16, 16)
+    L: int = 16000
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        bkw = dict(ff=self.ff,
+                   diffusion_step_embed_dim_out=self.diffusion_step_embed_dim_out,
+                   unconditional=self.unconditional,
+                   mel_upsample=tuple(self.mel_upsample), **kw)
+
+        self.init_conv = WNConv1d(self.in_channels, self.d_model,
+                                  kernel_size=1, name="init_conv", **kw)
+        self.fc_t1 = TorchLinear(self.diffusion_step_embed_dim_in,
+                                 self.diffusion_step_embed_dim_mid,
+                                 name="fc_t1", **kw)
+        self.fc_t2 = TorchLinear(self.diffusion_step_embed_dim_mid,
+                                 self.diffusion_step_embed_dim_out,
+                                 name="fc_t2", **kw)
+
+        H, L = self.d_model, self.L
+        d_mods, d_kinds = [], []
+        for si, p in enumerate(self.pool):
+            if self.unet:
+                for j in range(self.n_layers):
+                    d_mods.append(DiffWaveBlock(
+                        d_model=H, L=L, name=f"d{si}_block{j}", **bkw))
+                    d_kinds.append("block")
+            d_mods.append(DownPool(H, H * self.expand, pool=p,
+                                   name=f"down{si}", **kw))
+            d_kinds.append("pool")
+            L //= p
+            H *= self.expand
+        self.d_mods, self.d_kinds = d_mods, tuple(d_kinds)
+
+        self.c_mods = [DiffWaveBlock(d_model=H, L=L, name=f"c_block{j}",
+                                     **bkw)
+                       for j in range(self.n_layers)]
+
+        u_mods, u_kinds = [], []
+        for si, p in enumerate(self.pool[::-1]):
+            H //= self.expand
+            L *= p
+            u_mods.append(UpPool(H * self.expand, H, pool=p,
+                                 name=f"up{si}", **kw))
+            u_kinds.append("pool")
+            for j in range(self.n_layers):
+                u_mods.append(DiffWaveBlock(
+                    d_model=H, L=L, name=f"u{si}_block{j}", **bkw))
+                u_kinds.append("block")
+        self.u_mods, self.u_kinds = u_mods, tuple(u_kinds)
+
+        self.norm = TransposedLN(name="norm", **kw)
+        self.final_conv1 = WNConv1d(self.d_model, self.d_model, kernel_size=1,
+                                    name="final_conv1", **kw)
+        self.final_conv2 = ZeroConv1d(self.d_model, self.out_channels,
+                                      name="final_conv2", **kw)
+
+    def _stage_lengths(self, L0: int):
+        """Per-block sequence lengths for an input of length L0."""
+        d_L, L = [], L0
+        for p in self.pool:
+            if self.unet:
+                d_L.extend([L] * self.n_layers)
+            d_L.append(None)  # pool entry
+            L //= p
+        c_L = [L] * self.n_layers
+        u_L = []
+        for p in self.pool[::-1]:
+            u_L.append(None)
+            L *= p
+            u_L.extend([L] * self.n_layers)
+        return d_L, c_L, u_L
+
+    def compute_kernels(self, audio_length: int) -> Dict[str, jnp.ndarray]:
+        """All S4 conv kernels for sequences of ``audio_length`` samples.
+
+        Pure function of parameters — call once, reuse across all T sampling
+        steps (the reference recomputes these every network forward).
+        """
+        d_L, c_L, u_L = self._stage_lengths(audio_length)
+        kernels: Dict[str, jnp.ndarray] = {}
+        for mod, L in zip(self.d_mods, d_L):
+            if L is not None:
+                kernels[mod.name] = mod.compute_kernel(L)
+        for mod, L in zip(self.c_mods, c_L):
+            kernels[mod.name] = mod.compute_kernel(L)
+        for mod, L in zip(self.u_mods, u_L):
+            if L is not None:
+                kernels[mod.name] = mod.compute_kernel(L)
+        return kernels
+
+    def __call__(self, audio: jnp.ndarray, diffusion_steps: jnp.ndarray,
+                 mel_spec: Optional[jnp.ndarray] = None,
+                 kernels: Optional[Dict[str, jnp.ndarray]] = None,
+                 train: bool = False) -> jnp.ndarray:
+        assert audio.shape[-1] % int(
+            math.prod(self.pool)) == 0, "audio length must divide the pooling"
+        k = (lambda mod: None) if kernels is None else (
+            lambda mod: kernels.get(mod.name))
+
+        x = audio.astype(self.dtype)
+        x = jax.nn.relu(self.init_conv(x))
+
+        embed = diffusion_step_embedding(
+            diffusion_steps, self.diffusion_step_embed_dim_in,
+            dtype=jnp.float32).astype(self.dtype)
+        embed = swish(self.fc_t1(embed))
+        embed = swish(self.fc_t2(embed))
+
+        outputs = []
+        for mod, kind in zip(self.d_mods, self.d_kinds):
+            outputs.append(x)
+            if kind == "block":
+                x = mod(x, embed, mel_spec, kernel=k(mod), train=train)
+            else:
+                x = mod(x)
+
+        outputs.append(x)
+        for mod in self.c_mods:
+            x = mod(x, embed, mel_spec, kernel=k(mod), train=train)
+        x = x + outputs.pop()
+
+        for mod, kind in zip(self.u_mods, self.u_kinds):
+            if kind == "block":
+                x = mod(x, embed, mel_spec, kernel=k(mod), train=train)
+                if self.unet:
+                    x = x + outputs.pop()
+            else:
+                x = mod(x)
+                x = x + outputs.pop()
+
+        x = self.norm(x)
+        x = jax.nn.relu(self.final_conv1(x))
+        x = self.final_conv2(x)
+        return x.astype(jnp.float32)

@@ -97,9 +97,13 @@ def _s4_from_torch(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
             "w_imag": _np(sd[kp + ".w_imag"]),
             "log_dt": _np(sd[kp + ".log_dt"]),
         },
+        # LinearActivation wraps the conv in a Sequential when an activation
+        # is attached (ref models/s4.py:166-177) -> key 'output_linear.0.*'
         "output_linear": {
-            "w": _np(sd[prefix + ".output_linear.weight"])[:, :, 0],
-            "b": _np(sd[prefix + ".output_linear.bias"]),
+            "w": _np(sd.get(prefix + ".output_linear.weight",
+                            sd.get(prefix + ".output_linear.0.weight")))[:, :, 0],
+            "b": _np(sd.get(prefix + ".output_linear.bias",
+                            sd.get(prefix + ".output_linear.0.bias"))),
         },
         # NOTE: the internal kernel length self.L / C-tilde state is a torch
         # buffer ('kernel.kernel.L'); callers must pass trained_length to the
@@ -148,7 +152,7 @@ def sashimi_from_torch(sd: Mapping[str, Any], n_layers: int, pool,
                 p[f"d{si}_block{j}"] = _dwblock_from_torch(
                     sd, f"d_layers.{i}", conditional)
                 i += 1
-        p[f"down{si}"] = _wnconv(sd, f"d_layers.{i}.linear.conv")
+        p[f"down{si}"] = {"linear": _wnconv(sd, f"d_layers.{i}.linear.conv")}
         i += 1
 
     for j in range(n_layers):
@@ -156,7 +160,7 @@ def sashimi_from_torch(sd: Mapping[str, Any], n_layers: int, pool,
 
     i = 0
     for si, _ in enumerate(pool[::-1]):
-        p[f"up{si}"] = _wnconv(sd, f"u_layers.{i}.linear.conv")
+        p[f"up{si}"] = {"linear": _wnconv(sd, f"u_layers.{i}.linear.conv")}
         i += 1
         for j in range(n_layers):
             p[f"u{si}_block{j}"] = _dwblock_from_torch(
