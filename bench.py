@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Headline benchmark: 16 kHz audio generated per second per chip at T=200.
+
+Runs the flagship SaShiMi-DiffWave SC09 model (unet_d128_n6_pool_2_expand2_ff2,
+the reference's paper-eval configuration) through the fully-compiled T=200
+reverse-diffusion scan with hoisted S4 kernels, at the largest batch that
+fits, and prints ONE JSON line:
+
+    {"metric": ..., "value": realtime_factor, "unit": "x_realtime",
+     "vs_baseline": value / 20.0}
+
+vs_baseline is measured against the project target of >=20x realtime per
+TPU v5e chip (BASELINE.md).  Extra context fields (batch, seconds, train
+step/s) are included in the same JSON object.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(batch: int, d_model: int = 128, L: int = 16000, T: int = 200):
+    from diffwave_sashimi_tpu.diffusion import diffusion_schedule, sampling
+    from diffwave_sashimi_tpu.models.sashimi import Sashimi
+
+    model = Sashimi(d_model=d_model, n_layers=6, pool=(4, 4), expand=2, ff=2,
+                    L=L, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, 1, L), jnp.float32),
+                        jnp.zeros((1,), jnp.int32))
+    schedule = diffusion_schedule(T=T, beta_0=1e-4, beta_T=0.02)
+
+    kernels = model.apply(params, L, method=Sashimi.compute_kernels)
+
+    def apply_fn(p, x, t, mel=None):
+        return model.apply(p, x, t, mel, kernels)
+
+    @jax.jit
+    def run(p, rng):
+        return sampling(apply_fn, p, (batch, 1, L), schedule, rng)
+
+    return run, params
+
+
+def measure_generation(T: int = 200, L: int = 16000, sr: int = 16000):
+    last_err = None
+    for batch in (16, 8, 4, 1):
+        try:
+            run, params = build(batch, L=L, T=T)
+            rng = jax.random.PRNGKey(1)
+            out = run(params, rng)           # compile + warmup
+            out.block_until_ready()
+            reps = 3
+            t0 = time.time()
+            for i in range(reps):
+                out = run(params, jax.random.PRNGKey(2 + i))
+            out.block_until_ready()
+            dt = (time.time() - t0) / reps
+            audio_seconds = batch * L / sr
+            return batch, audio_seconds / dt, dt
+        except Exception as e:  # OOM at this batch -> try smaller
+            last_err = e
+            continue
+    raise RuntimeError(f"all batch sizes failed: {last_err}")
+
+
+def measure_train_step(batch: int = 8, L: int = 16000):
+    import optax
+    from diffwave_sashimi_tpu.diffusion import diffusion_schedule
+    from diffwave_sashimi_tpu.models.sashimi import Sashimi
+    from diffwave_sashimi_tpu.runtime.train import make_train_step
+
+    model = Sashimi(d_model=128, n_layers=6, pool=(4, 4), expand=2, ff=2,
+                    L=L, dtype=jnp.bfloat16)
+    schedule = diffusion_schedule(T=200, beta_0=1e-4, beta_T=0.02)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, L)),
+                        jnp.zeros((1,), jnp.int32))
+    optimizer = optax.adam(2e-4)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, optimizer, schedule)
+    batch_x = jnp.zeros((batch, 1, L), jnp.float32)
+    params, opt_state, loss = step(params, opt_state, batch_x, None,
+                                   jax.random.PRNGKey(1))
+    loss.block_until_ready()
+    reps = 5
+    t0 = time.time()
+    for i in range(reps):
+        params, opt_state, loss = step(params, opt_state, batch_x, None,
+                                       jax.random.PRNGKey(2 + i))
+    loss.block_until_ready()
+    return reps / (time.time() - t0)
+
+
+def main():
+    t_start = time.time()
+    batch, realtime, secs_per_batch = measure_generation()
+    try:
+        steps_per_sec = measure_train_step()
+    except Exception:
+        steps_per_sec = None
+    result = {
+        "metric": "sec of 16kHz audio generated /sec/chip at T=200 "
+                  "(sashimi d128 SC09)",
+        "value": round(realtime, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(realtime / 20.0, 3),
+        "batch": batch,
+        "seconds_per_batch": round(secs_per_batch, 3),
+        "train_steps_per_sec_b8": (round(steps_per_sec, 3)
+                                   if steps_per_sec else None),
+        "bench_wall_s": round(time.time() - t_start, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,7 @@ from flax import linen as nn
 
 from ..ops import hippo
 from ..ops.cauchy import cauchy_sym
+from ..ops.cauchy_pallas import cauchy_sym_pallas, MAX_BWD_L
 from ..ops.vandermonde import log_vandermonde
 from ..ops.nplr import discretize, setup_C, extend_C
 from ..ops.conv import torch_uniform_init
@@ -70,6 +71,7 @@ class SSKernelNPLR(nn.Module):
     dt_max: float = 0.1
     deterministic: bool = False
     real_tolerance: float = 1e-3
+    cauchy: str = "auto"   # 'auto' | 'pallas' | 'xla' | 'naive'
 
     def setup(self):
         H, N2 = self.H, self.N // 2
@@ -168,7 +170,15 @@ class SSKernelNPLR(nn.Module):
         Cstack = jnp.concatenate([C, Q], axis=0)           # (c+r, H, N2)
         v = Bstack[:, None] * Cstack[None, :]              # (1+r, c+r, H, N2)
 
-        r = cauchy_sym(v, z, wt)                           # (1+r, c+r, H, L')
+        impl = self.cauchy
+        if impl == "auto":
+            # fused Pallas kernel on TPU (bwd kernel is VMEM-bounded in L)
+            on_tpu = jax.default_backend() == "tpu"
+            impl = "pallas" if on_tpu and len(z) <= MAX_BWD_L else "xla"
+        if impl == "pallas":
+            r = cauchy_sym_pallas(v, z, wt)                # (1+r, c+r, H, L')
+        else:
+            r = cauchy_sym(v, z, wt)                       # (1+r, c+r, H, L')
         r = r * dt[None, None, :, None]
 
         # Low-rank Woodbury correction (ref models/s4.py:765-790).
@@ -314,6 +324,7 @@ class S4(nn.Module):
     dt_max: float = 0.1
     dropout: float = 0.0
     deterministic_init: bool = False
+    cauchy: str = "auto"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -325,7 +336,7 @@ class S4(nn.Module):
                 H=H, N=self.d_state, l_max=self.l_max, channels=c_kernel,
                 measure=self.measure, rank=self.rank, n_ssm=self.n_ssm,
                 dt_min=self.dt_min, dt_max=self.dt_max,
-                deterministic=self.deterministic_init)
+                deterministic=self.deterministic_init, cauchy=self.cauchy)
         elif self.mode == "diag":
             self.kernel = SSKernelDiag(
                 H=H, N=self.d_state, l_max=self.l_max, channels=c_kernel,

@@ -51,7 +51,7 @@ def cauchy_sym_naive(v: jnp.ndarray, z: jnp.ndarray, w: jnp.ndarray
 
 @partial(jax.jit, static_argnames=("chunk",))
 def cauchy_sym(v: jnp.ndarray, z: jnp.ndarray, w: jnp.ndarray,
-               chunk: int = 4096) -> jnp.ndarray:
+               chunk: int = 8192) -> jnp.ndarray:
     """Symmetric Cauchy sum via the real-coefficient two-matmul form.
 
     Args:
@@ -70,9 +70,6 @@ def cauchy_sym(v: jnp.ndarray, z: jnp.ndarray, w: jnp.ndarray,
     d = w.real ** 2 + w.imag ** 2                      # (H, N)
 
     L = z.shape[0]
-    pad = (-L) % chunk
-    z_p = jnp.pad(z, (0, pad), constant_values=1.0)
-    z_chunks = z_p.reshape(-1, chunk)                  # (nc, chunk)
 
     def one_chunk(z_c):
         # z_c: (chunk,) complex
@@ -86,6 +83,11 @@ def cauchy_sym(v: jnp.ndarray, z: jnp.ndarray, w: jnp.ndarray,
             + jnp.einsum("...hn,hnl->...hl", b.astype(G0.dtype), G0)
         return r
 
+    if L <= chunk:
+        return one_chunk(z)                            # single shot, no map
+    pad = (-L) % chunk
+    z_p = jnp.pad(z, (0, pad), constant_values=1.0)
+    z_chunks = z_p.reshape(-1, chunk)                  # (nc, chunk)
     out = jax.lax.map(one_chunk, z_chunks)             # (nc, ..., H, chunk)
     out = jnp.moveaxis(out, 0, -2)                     # (..., H, nc, chunk)
     out = out.reshape(out.shape[:-2] + (-1,))          # (..., H, nc*chunk)

@@ -55,7 +55,11 @@ def discretize(w: jnp.ndarray, P: jnp.ndarray, B: jnp.ndarray,
     R_mat = jnp.eye(R_rank, dtype=w.dtype) \
         + 2.0 * jnp.einsum("rhn,hn,shn->hrs", Q, D, P).real.astype(w.dtype)
     QD = jnp.einsum("rhn,hn->hrn", Q, D)                    # (H, R, N)
-    Rs = jnp.linalg.solve(R_mat, QD)                        # (H, R, N)
+    if R_rank == 1:
+        # scalar 'solve' — avoids complex linalg, which TPU doesn't lower
+        Rs = QD / R_mat[..., :1]                            # (H, 1, N)
+    else:
+        Rs = jnp.linalg.solve(R_mat, QD)                    # (H, R, N)
     Rs = jnp.moveaxis(Rs, 0, 1)                             # (R, H, N)
 
     # Conjugate-expanded operators for stepping full 2N-dim states.

@@ -1,0 +1,164 @@
+"""Generation runtime: checkpoint -> compiled reverse-diffusion -> wavs.
+
+Behavioral parity with reference generate.py:58-200 (``generate``): resolve
+``exp/<run>/checkpoint`` by ``ckpt_iter`` ('max' | int), optional checkpoint
+averaging (``ckpt_smooth``), mel conditioning from a precomputed file
+(``mel_path``/``mel_name``) or computed on the fly from
+``{data_path}/{mel_name}.wav``, ``audio_length = mel_frames * hop_length``
+for vocoding or ``segment_length`` otherwise, batched sampling, wav files
+named ``<iter//1000>k_<i>.wav`` under ``exp/<run>/waveforms/<iter>/``.
+
+TPU design: the whole T-step reverse process is ONE compiled ``lax.scan``
+(diffusion/sampling.py); for SaShiMi the S4 convolution kernels are computed
+once and closed over by the scan instead of being rebuilt in each of the T
+network forwards like the reference.  Wall-clock is measured around
+``block_until_ready`` (the reference's CUDA-event timing, generate.py:164-185)
+and both total and realtime-factor are reported.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..diffusion import schedule_from_cfg, sampling
+from ..models import construct_model
+from ..models.sashimi import Sashimi
+from ..utils.exp import local_directory
+from ..data.wav import save_wav, load_wav_raw
+from .checkpoint import load_checkpoint, smooth_checkpoints
+
+
+def make_apply_fn(model, params, audio_length: int):
+    """Sampling-ready apply fn with any step-independent work hoisted."""
+    if isinstance(model, Sashimi):
+        kernels = model.apply(params, audio_length,
+                              method=Sashimi.compute_kernels)
+
+        def apply_fn(p, x, t, mel=None):
+            return model.apply(p, x, t, mel, kernels)
+    else:
+        def apply_fn(p, x, t, mel=None):
+            return model.apply(p, x, t, mel)
+    return apply_fn
+
+
+def resolve_condition(dataset_cfg, mel_path: Optional[str],
+                      mel_name: Optional[str]):
+    """(mel (1, 80, frames) or None, audio_length) — ref generate.py:135-160."""
+    if mel_name is None:
+        return None, int(dataset_cfg["segment_length"])
+    if mel_path is not None:
+        from ..data.mel2samp import load_mel_file
+        mel = load_mel_file(os.path.join(mel_path, f"{mel_name}.wav"))
+    else:
+        from ..data.mel2samp import Mel2Samp
+        ds_cfg = dict(dataset_cfg)
+        ds_cfg.pop("_name_")
+        m2s = Mel2Samp(**ds_cfg)
+        audio, _ = load_wav_raw(
+            os.path.join(dataset_cfg["data_path"], f"{mel_name}.wav"))
+        mel = m2s.get_mel(audio)
+    mel = np.asarray(mel)[None, ...]
+    audio_length = mel.shape[-1] * int(dataset_cfg["hop_length"])
+    return mel, audio_length
+
+
+def generate(diffusion_cfg, model_cfg, dataset_cfg,
+             ckpt_iter="max", n_samples: int = 1, name: Optional[str] = None,
+             batch_size: Optional[int] = None, ckpt_smooth=None,
+             mel_path: Optional[str] = None, mel_name: Optional[str] = None,
+             params=None, rank: int = 0, world: int = 1, seed: int = 0,
+             precision: str = "f32", write_wavs: bool = True) -> np.ndarray:
+    """Sample ``n_samples`` waveforms; returns (n_samples, 1, L) numpy.
+
+    ``params`` short-circuits checkpoint loading (used for in-training
+    generation with live parameters).
+    """
+    local_path, output_directory = local_directory(
+        name, model_cfg, diffusion_cfg, dataset_cfg, "waveforms")
+    schedule = schedule_from_cfg(diffusion_cfg, fast=True)
+    model = construct_model(model_cfg, precision=precision)
+
+    ckpt_path = os.path.join("exp", local_path, "checkpoint")
+    if ckpt_iter == "max":
+        from ..utils.exp import find_max_epoch
+        ckpt_iter = find_max_epoch(ckpt_path)
+    ckpt_iter = int(ckpt_iter)
+
+    if params is None:
+        if ckpt_smooth is not None:
+            ck = smooth_checkpoints(ckpt_path, int(ckpt_smooth), ckpt_iter,
+                                    model_cfg)
+        else:
+            ck = load_checkpoint(ckpt_path, ckpt_iter, model_cfg)
+        if ck is None:
+            raise FileNotFoundError(
+                f"no valid checkpoint at iter {ckpt_iter} in {ckpt_path}")
+        params = jax.tree.map(jnp.asarray, ck["model_state_dict"])
+
+    output_directory = os.path.join(output_directory, str(ckpt_iter))
+    os.makedirs(output_directory, mode=0o775, exist_ok=True)
+
+    condition, audio_length = resolve_condition(dataset_cfg, mel_path,
+                                                mel_name)
+    if batch_size is None:
+        batch_size = n_samples
+    assert n_samples % batch_size == 0
+
+    apply_fn = make_apply_fn(model, params, audio_length)
+    cond_dev = None if condition is None else jnp.asarray(
+        np.repeat(condition, batch_size, axis=0))
+
+    @jax.jit
+    def run(p, rng):
+        return sampling(apply_fn, p, (batch_size, 1, audio_length),
+                        schedule, rng, condition=cond_dev)
+
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), rank)
+    chunks = []
+    t0 = time.time()
+    for i in range(n_samples // batch_size):
+        key, sub = jax.random.split(key)
+        chunks.append(run(params, sub))
+    generated = jnp.concatenate(chunks, axis=0)
+    generated.block_until_ready()
+    elapsed = time.time() - t0
+
+    sr = int(dataset_cfg["sampling_rate"])
+    audio_seconds = n_samples * audio_length / sr
+    print(f"generated {n_samples} samples of {audio_length / sr:.2f}s at "
+          f"iteration {ckpt_iter} in {elapsed:.2f}s "
+          f"({audio_seconds / elapsed:.2f}x realtime)", flush=True)
+
+    generated = np.asarray(generated)
+    if write_wavs:
+        for i in range(n_samples):
+            outfile = f"{ckpt_iter // 1000}k_{n_samples * rank + i}.wav"
+            save_wav(os.path.join(output_directory, outfile), sr,
+                     generated[i, 0])
+    return generated
+
+
+def main(argv=None):
+    """CLI: dwst-generate <hydra-style overrides> (mirrors generate.py:203)."""
+    import sys
+    from ..config import load_config
+
+    cfg = load_config(overrides=(argv if argv is not None else sys.argv[1:]))
+    print(cfg.to_yaml())
+    gen_cfg = dict(cfg.generate)
+    generate(cfg.diffusion, cfg.model, cfg.dataset,
+             name=cfg.train.get("name"),
+             precision=cfg.get_path("compute.precision", "f32"),
+             **gen_cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Training runtime: jitted data-parallel train step over a device mesh.
+
+Behavioral parity with reference train.py:49-196 (``train``): run-name and
+``exp/<run>`` layout, diffusion hyperparams, dataloader, Adam at
+``learning_rate``, resume via ``ckpt_iter in {'max', int, -1}``, loss logging
+every ``iters_per_logging``, checkpoint + in-training sample generation every
+``iters_per_ckpt``, iteration budget ``n_iters``.
+
+TPU replacements for the reference's distributed machinery
+(distributed_util.py — NCCL init, param broadcast, bucketed grad allreduce):
+a 1-D ``('data',)`` mesh; the batch is sharded over it and parameters are
+replicated, so XLA emits the gradient all-reduce over ICI inside the single
+jitted step.  One process drives all local devices (no per-GPU process
+spawn / TCP rendezvous).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..diffusion import schedule_from_cfg, training_loss
+from ..models import construct_model
+from ..parallel.mesh import mesh_from_cfg, shard_batch, replicated
+from ..utils.exp import local_directory
+from ..data import dataloader
+from .checkpoint import save_checkpoint, load_checkpoint
+from .metrics import MetricsLogger
+from .generate import generate
+
+
+def make_train_step(model, optimizer, schedule):
+    """One jitted step: (params, opt_state, batch, mel, rng) -> (..., loss)."""
+
+    def apply_fn(p, x, t, mel=None, **kw):
+        return model.apply(p, x, t, mel, train=True, **kw)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, audio, mel, rng):
+        def loss_fn(p):
+            return training_loss(apply_fn, p, audio, schedule, rng)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return params2, opt_state2, loss
+
+    return step
+
+
+def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
+          ckpt_iter="max", n_iters: int = 1000001,
+          iters_per_ckpt: int = 10000, iters_per_logging: int = 100,
+          learning_rate: float = 2e-4, batch_size_per_gpu: int = 4,
+          name: Optional[str] = None, mesh_cfg=None, compute_cfg=None,
+          wandb_cfg=None, run_config=None, seed: int = 0,
+          data_loader=None, max_seconds: Optional[float] = None
+          ) -> Dict[str, Any]:
+    """Run the training loop; returns final {'params', 'step', ...}.
+
+    ``batch_size_per_gpu`` is per *device* (key name kept for reference
+    parity); global batch = batch_size_per_gpu * mesh size.
+    ``data_loader`` overrides the dataset-config loader (tests, synthetic
+    data).  ``max_seconds`` bounds wall-clock for smoke runs.
+    """
+    local_path, ckpt_dir = local_directory(name, model_cfg, diffusion_cfg,
+                                           dataset_cfg, "checkpoint")
+    schedule = schedule_from_cfg(diffusion_cfg, fast=False)
+
+    mesh = mesh_from_cfg(mesh_cfg)
+    n_dev = mesh.devices.size
+    global_batch = batch_size_per_gpu * n_dev
+    precision = (compute_cfg or {}).get("precision", "bf16")
+
+    if data_loader is None:
+        data_loader = dataloader(dataset_cfg, batch_size=global_batch,
+                                 unconditional=model_cfg["unconditional"])
+    print(f"Data loaded: {len(data_loader)} batches of {global_batch} "
+          f"({n_dev} devices)", flush=True)
+
+    model = construct_model(model_cfg, precision=precision)
+    unconditional = bool(model_cfg["unconditional"])
+
+    # Init params (abstractly cheap: one real init on the first batch shape)
+    L = int(dataset_cfg["segment_length"])
+    rng = jax.random.PRNGKey(seed)
+    init_audio = jnp.zeros((1, 1, L), jnp.float32)
+    init_steps = jnp.zeros((1,), jnp.int32)
+    if unconditional:
+        params = model.init(rng, init_audio, init_steps)
+    else:
+        frames = L // int(dataset_cfg["hop_length"]) + 1
+        params = model.init(rng, init_audio, init_steps,
+                            jnp.zeros((1, 80, frames), jnp.float32))
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    print(f"{model.__class__.__name__} Parameters: {n_params / 1e6:.6f}M",
+          flush=True)
+
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+
+    # Resume
+    ck = load_checkpoint(ckpt_dir, ckpt_iter, model_cfg)
+    if ck is not None:
+        params = jax.tree.map(jnp.asarray, ck["model_state_dict"])
+        if ck.get("optimizer_state_dict") is not None:
+            opt_state = jax.tree.map(
+                jnp.asarray, jax.tree.unflatten(
+                    jax.tree.structure(opt_state),
+                    jax.tree.leaves(ck["optimizer_state_dict"])))
+        start_iter = ck["step"] + 1
+        print(f"Successfully loaded model at iteration {ck['step']}",
+              flush=True)
+    else:
+        start_iter = 0
+        print("No valid checkpoint model found - training from scratch.",
+              flush=True)
+
+    # Replicate state over the mesh; batch will be sharded over 'data'.
+    with mesh:
+        params = jax.device_put(params, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+        step_fn = make_train_step(model, optimizer, schedule)
+
+        logger = MetricsLogger(os.path.join("exp", local_path),
+                               wandb_cfg, run_config)
+        n_iter = start_iter
+        t_start = time.time()
+        recent = []
+        try:
+            while n_iter < n_iters + 1:
+                epoch_loss, epoch_batches = 0.0, 0
+                for data in data_loader:
+                    if unconditional:
+                        audio = data[0] if isinstance(data, tuple) else data
+                        mel = None
+                    else:
+                        mel, audio = data[0], data[1]
+                        mel = shard_batch(np.asarray(mel, np.float32), mesh)
+                    audio = shard_batch(np.asarray(audio, np.float32), mesh)
+                    step_rng = jax.random.fold_in(rng, n_iter)
+
+                    params, opt_state, loss = step_fn(params, opt_state,
+                                                      audio, mel, step_rng)
+
+                    if n_iter % iters_per_logging == 0:
+                        loss_v = float(loss)
+                        epoch_loss += loss_v
+                        epoch_batches += 1
+                        dur = time.time() - t_start
+                        logger.log({"train/loss": loss_v,
+                                    "train/log_loss": float(np.log(max(loss_v, 1e-12))),
+                                    "train/steps_per_sec":
+                                        (n_iter - start_iter + 1) / dur},
+                                   step=n_iter)
+                        print(f"iter {n_iter} loss {loss_v:.5f}", flush=True)
+
+                    if n_iter > 0 and n_iter % iters_per_ckpt == 0:
+                        save_checkpoint(ckpt_dir, n_iter, params, opt_state)
+                        print(f"model at iteration {n_iter} is saved",
+                              flush=True)
+                        if generate_cfg is not None:
+                            gen_kwargs = {
+                                k: v for k, v in dict(generate_cfg).items()
+                                if k not in ("ckpt_iter",)}
+                            if not unconditional:
+                                assert gen_kwargs.get("mel_name") is not None
+                            try:
+                                samples = generate(
+                                    diffusion_cfg, model_cfg, dataset_cfg,
+                                    ckpt_iter=n_iter, name=name,
+                                    params=params, **gen_kwargs)
+                                logger.log_audio(
+                                    samples,
+                                    int(dataset_cfg["sampling_rate"]), n_iter)
+                            except Exception as e:  # sampling must not kill training
+                                print(f"in-training generation failed: {e}",
+                                      flush=True)
+
+                    n_iter += 1
+                    if n_iter >= n_iters + 1:
+                        break
+                    if max_seconds and time.time() - t_start > max_seconds:
+                        break
+                if epoch_batches:
+                    logger.log({"train/loss_epoch":
+                                epoch_loss / epoch_batches}, step=n_iter)
+                if max_seconds and time.time() - t_start > max_seconds:
+                    break
+        finally:
+            logger.finish()
+
+    return {"params": params, "opt_state": opt_state, "step": n_iter - 1,
+            "checkpoint_dir": ckpt_dir}
+
+
+def main(argv=None):
+    """CLI: dwst-train <hydra-style overrides> (mirrors train.py:226)."""
+    import sys
+    from ..config import load_config
+
+    cfg = load_config(overrides=(argv if argv is not None else sys.argv[1:]))
+    print(cfg.to_yaml())
+    os.makedirs("exp/", mode=0o775, exist_ok=True)
+    train_cfg = dict(cfg.train)
+    name = train_cfg.pop("name", None)
+    train(cfg.diffusion, cfg.model, cfg.dataset, cfg.generate,
+          name=name, mesh_cfg=cfg.get("mesh"), compute_cfg=cfg.get("compute"),
+          wandb_cfg=cfg.get("wandb"), run_config=cfg.to_dict(), **train_cfg)
+
+
+if __name__ == "__main__":
+    main()

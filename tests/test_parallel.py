@@ -1,0 +1,77 @@
+"""Data-parallel training on an 8-device CPU mesh.
+
+The multi-device testing the reference entirely lacks (SURVEY §4): virtual
+CPU devices via xla_force_host_platform_device_count stand in for a TPU
+slice.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from diffwave_sashimi_tpu.diffusion import diffusion_schedule
+from diffwave_sashimi_tpu.models.wavenet import WaveNet
+from diffwave_sashimi_tpu.parallel import (make_mesh, replicated, shard_batch)
+from diffwave_sashimi_tpu.runtime.train import make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = WaveNet(res_channels=16, skip_channels=16, num_res_layers=2,
+                    dilation_cycle=2)
+    schedule = diffusion_schedule(T=10, beta_0=1e-4, beta_T=0.02)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 256)),
+                        jnp.zeros((1,), jnp.int32))
+    optimizer = optax.adam(1e-3)
+    return model, schedule, params, optimizer
+
+
+def test_eight_device_mesh_available():
+    assert jax.device_count() == 8
+
+
+def test_sharded_step_matches_single_device(setup):
+    model, schedule, params0, optimizer = setup
+    batch = np.random.RandomState(0).randn(8, 1, 256).astype(np.float32)
+    rng = jax.random.PRNGKey(42)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(data=n_dev)
+        with mesh:
+            # fresh copies: the train step donates its state buffers
+            fresh = jax.tree.map(jnp.array, params0)
+            params = jax.device_put(fresh, replicated(mesh))
+            opt_state = jax.device_put(optimizer.init(fresh),
+                                       replicated(mesh))
+            step = make_train_step(model, optimizer, schedule)
+            audio = shard_batch(batch, mesh)
+            p, o, loss = step(params, opt_state, audio, None, rng)
+            results[n_dev] = (jax.tree.map(np.asarray, p), float(loss))
+
+    # Same global batch + same rng => identical loss and updated params
+    np.testing.assert_allclose(results[1][1], results[8][1], rtol=1e-5)
+    l1 = jax.tree.leaves(results[1][0])
+    l8 = jax.tree.leaves(results[8][0])
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_multiple_steps_loss_decreases(setup):
+    model, schedule, params, optimizer = setup
+    mesh = make_mesh(data=8)
+    rng = np.random.RandomState(1)
+    data = rng.randn(64, 1, 256).astype(np.float32) * 0.1
+    with mesh:
+        p = jax.device_put(params, replicated(mesh))
+        o = jax.device_put(optimizer.init(params), replicated(mesh))
+        step = make_train_step(model, optimizer, schedule)
+        losses = []
+        for i in range(20):
+            batch = shard_batch(data[(8 * i) % 64:(8 * i) % 64 + 8], mesh)
+            p, o, loss = step(p, o, batch, None,
+                              jax.random.PRNGKey(i))
+            losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])

@@ -1,0 +1,104 @@
+"""End-to-end runtime tests: train loop, checkpoint/resume, generate CLI."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+import jax
+import jax.numpy as jnp
+
+from diffwave_sashimi_tpu.config import load_config
+from diffwave_sashimi_tpu.runtime.checkpoint import (
+    load_checkpoint, save_checkpoint, smooth_checkpoints)
+from diffwave_sashimi_tpu.runtime.train import train
+from diffwave_sashimi_tpu.runtime.generate import generate
+
+
+SMALL = ["experiment=sc09_wavenet", "model.res_channels=16",
+         "model.skip_channels=16", "model.num_res_layers=2",
+         "model.dilation_cycle=2", "dataset.segment_length=512",
+         "diffusion.T=5", "train.n_iters=4", "train.iters_per_ckpt=2",
+         "train.iters_per_logging=1", "train.batch_size_per_gpu=1",
+         "generate.n_samples=1", "mesh.data=1", "compute.precision=f32"]
+
+
+@pytest.fixture
+def sc09_tiny(tmp_path):
+    d = tmp_path / "sc09" / "zero"
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        wavfile.write(str(d / f"s{i}_nohash_0.wav"), 16000,
+                      (rng.randn(512) * 3000).astype(np.int16))
+    return str(tmp_path / "sc09")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"params": {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}}
+    d = str(tmp_path)
+    save_checkpoint(d, 100, params)
+    save_checkpoint(d, 300, jax.tree.map(lambda x: x * 3, params))
+    ck = load_checkpoint(d, "max")
+    assert ck["step"] == 300
+    np.testing.assert_allclose(ck["model_state_dict"]["params"]["a"],
+                               np.arange(4.0) * 3)
+    assert load_checkpoint(d, -1) is None
+    assert load_checkpoint(d, 99999) is None
+
+    sm = smooth_checkpoints(d, 0, 300)
+    np.testing.assert_allclose(sm["model_state_dict"]["params"]["a"],
+                               np.arange(4.0) * 2)  # mean of 1x and 3x
+
+
+def test_train_resume_and_generate(sc09_tiny, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(overrides=SMALL + [f"dataset.data_path={sc09_tiny}"])
+
+    result = train(cfg.diffusion, cfg.model, cfg.dataset, None,
+                   mesh_cfg=cfg.mesh, compute_cfg=cfg.compute,
+                   **{k: v for k, v in dict(cfg.train).items()
+                      if k != "name"})
+    assert result["step"] == 4
+    ckpt_dir = result["checkpoint_dir"]
+    saved = sorted(os.listdir(ckpt_dir))
+    assert "2.pkl" in saved and "4.pkl" in saved
+
+    # resume picks up from max checkpoint
+    result2 = train(cfg.diffusion, cfg.model, cfg.dataset, None,
+                    mesh_cfg=cfg.mesh, compute_cfg=cfg.compute,
+                    **{**{k: v for k, v in dict(cfg.train).items()
+                          if k != "name"}, "n_iters": 6})
+    assert result2["step"] == 6
+
+    # generate from the saved checkpoint; wav lands in the exp layout
+    out = generate(cfg.diffusion, cfg.model, cfg.dataset, ckpt_iter="max",
+                   n_samples=2, batch_size=1)
+    assert out.shape == (2, 1, 512)
+    run = "wnet_h16_d2_T5_betaT0.02_uncond"
+    wavs = os.listdir(os.path.join("exp", run, "waveforms", "6"))
+    assert sorted(wavs) == ["0k_0.wav", "0k_1.wav"]
+
+
+def test_generate_from_reference_torch_checkpoint(tmp_path, monkeypatch,
+                                                  torch_ref):
+    """A reference-framework torch checkpoint is loadable and sampleable."""
+    torch = torch_ref.torch
+    monkeypatch.chdir(tmp_path)
+    from models.wavenet import WaveNet as RefWaveNet
+    torch.manual_seed(0)
+    net = RefWaveNet(res_channels=16, skip_channels=16, num_res_layers=2,
+                     dilation_cycle=2, unconditional=True)
+    run = "wnet_h16_d2_T5_betaT0.02_uncond"
+    ckdir = os.path.join("exp", run, "checkpoint")
+    os.makedirs(ckdir)
+    torch.save({"model_state_dict": net.state_dict()},
+               os.path.join(ckdir, "1000.pkl"))
+
+    cfg = load_config(overrides=SMALL)
+    out = generate(cfg.diffusion, cfg.model, cfg.dataset, ckpt_iter="max",
+                   n_samples=1)
+    assert out.shape == (1, 1, 512)
+    assert np.isfinite(out).all()
