@@ -30,11 +30,14 @@ def build(batch: int, d_model: int = 128, L: int = 16000, T: int = 200):
     model = Sashimi(d_model=d_model, n_layers=6, pool=(4, 4), expand=2, ff=2,
                     L=L, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    params = model.init(rng, jnp.zeros((1, 1, L), jnp.float32),
-                        jnp.zeros((1,), jnp.int32))
+    # jit the init: eager init dispatches thousands of small ops (slow on a
+    # remote-compile backend); one compiled program instead
+    params = jax.jit(model.init)(rng, jnp.zeros((1, 1, L), jnp.float32),
+                                 jnp.zeros((1,), jnp.int32))
     schedule = diffusion_schedule(T=T, beta_0=1e-4, beta_T=0.02)
 
-    kernels = model.apply(params, L, method=Sashimi.compute_kernels)
+    kernels = jax.jit(lambda p: model.apply(
+        p, L, method=Sashimi.compute_kernels))(params)
 
     def apply_fn(p, x, t, mel=None):
         return model.apply(p, x, t, mel, kernels)
@@ -77,8 +80,8 @@ def measure_train_step(batch: int = 8, L: int = 16000):
     model = Sashimi(d_model=128, n_layers=6, pool=(4, 4), expand=2, ff=2,
                     L=L, dtype=jnp.bfloat16)
     schedule = diffusion_schedule(T=200, beta_0=1e-4, beta_T=0.02)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, L)),
-                        jnp.zeros((1,), jnp.int32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 1, L)),
+                                 jnp.zeros((1,), jnp.int32))
     optimizer = optax.adam(2e-4)
     opt_state = optimizer.init(params)
     step = make_train_step(model, optimizer, schedule)

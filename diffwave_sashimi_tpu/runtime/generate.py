@@ -38,8 +38,8 @@ from .checkpoint import load_checkpoint, smooth_checkpoints
 def make_apply_fn(model, params, audio_length: int):
     """Sampling-ready apply fn with any step-independent work hoisted."""
     if isinstance(model, Sashimi):
-        kernels = model.apply(params, audio_length,
-                              method=Sashimi.compute_kernels)
+        kernels = jax.jit(lambda p: model.apply(
+            p, audio_length, method=Sashimi.compute_kernels))(params)
 
         def apply_fn(p, x, t, mel=None):
             return model.apply(p, x, t, mel, kernels)

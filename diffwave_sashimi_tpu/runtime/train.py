@@ -93,12 +93,14 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
     rng = jax.random.PRNGKey(seed)
     init_audio = jnp.zeros((1, 1, L), jnp.float32)
     init_steps = jnp.zeros((1,), jnp.int32)
+    # jitted init: one compiled program instead of thousands of eager
+    # dispatches (the S4 C~ setup does matrix powers per block)
     if unconditional:
-        params = model.init(rng, init_audio, init_steps)
+        params = jax.jit(model.init)(rng, init_audio, init_steps)
     else:
         frames = L // int(dataset_cfg["hop_length"]) + 1
-        params = model.init(rng, init_audio, init_steps,
-                            jnp.zeros((1, 80, frames), jnp.float32))
+        params = jax.jit(model.init)(rng, init_audio, init_steps,
+                                     jnp.zeros((1, 80, frames), jnp.float32))
     n_params = sum(p.size for p in jax.tree.leaves(params))
     print(f"{model.__class__.__name__} Parameters: {n_params / 1e6:.6f}M",
           flush=True)
