@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from diffwave_sashimi_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
 
 def build(batch: int, d_model: int = 128, L: int = 16000, T: int = 200):
     from diffwave_sashimi_tpu.diffusion import diffusion_schedule, sampling
@@ -37,30 +41,31 @@ def build(batch: int, d_model: int = 128, L: int = 16000, T: int = 200):
     schedule = diffusion_schedule(T=T, beta_0=1e-4, beta_T=0.02)
 
     kernels = jax.jit(lambda p: model.apply(
-        p, L, method=Sashimi.compute_kernels))(params)
+        p, L, True, method=Sashimi.compute_kernels))(params)
 
-    def apply_fn(p, x, t, mel=None):
-        return model.apply(p, x, t, mel, kernels)
-
+    # kernels enter as a jit ARGUMENT: closing over device arrays would
+    # embed them as constants and force a slow device->host readback
     @jax.jit
-    def run(p, rng):
+    def run(p, k, rng):
+        def apply_fn(pp, x, t, mel=None):
+            return model.apply(pp, x, t, mel, k)
         return sampling(apply_fn, p, (batch, 1, L), schedule, rng)
 
-    return run, params
+    return run, params, kernels
 
 
 def measure_generation(T: int = 200, L: int = 16000, sr: int = 16000):
     last_err = None
     for batch in (16, 8, 4, 1):
         try:
-            run, params = build(batch, L=L, T=T)
+            run, params, kernels = build(batch, L=L, T=T)
             rng = jax.random.PRNGKey(1)
-            out = run(params, rng)           # compile + warmup
+            out = run(params, kernels, rng)  # compile + warmup
             out.block_until_ready()
             reps = 3
             t0 = time.time()
             for i in range(reps):
-                out = run(params, jax.random.PRNGKey(2 + i))
+                out = run(params, kernels, jax.random.PRNGKey(2 + i))
             out.block_until_ready()
             dt = (time.time() - t0) / reps
             audio_seconds = batch * L / sr

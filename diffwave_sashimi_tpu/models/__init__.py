@@ -28,7 +28,8 @@ _DTYPES = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
            "f32": jnp.float32, "float32": jnp.float32}
 
 
-def construct_model(model_cfg: Dict[str, Any], precision: str = "f32"):
+def construct_model(model_cfg: Dict[str, Any], precision: str = "f32",
+                    remat: bool = False):
     """Build the backbone module from a model config block."""
     cfg = dict(model_cfg)
     name = cfg.pop("_name_")
@@ -37,4 +38,5 @@ def construct_model(model_cfg: Dict[str, Any], precision: str = "f32"):
     kwargs = {k: (tuple(v) if isinstance(v, list) else v)
               for k, v in cfg.items() if k in fields}
     kwargs["dtype"] = _DTYPES[precision]
+    kwargs["remat"] = remat
     return cls(**kwargs)

@@ -71,6 +71,7 @@ class SSKernelNPLR(nn.Module):
     dt_max: float = 0.1
     deterministic: bool = False
     real_tolerance: float = 1e-3
+    bandlimit: Optional[float] = None   # mask C above this frequency (ref :707-713)
     cauchy: str = "auto"   # 'auto' | 'pallas' | 'xla' | 'naive'
 
     def setup(self):
@@ -149,6 +150,9 @@ class SSKernelNPLR(nn.Module):
 
         dt = jnp.exp(self.log_dt) * rate                   # (H,)
         w = self._broadcast(self._w(), 0)                  # (H, N2)
+        if self.bandlimit is not None:
+            freqs = dt[:, None] / rate * jnp.abs(w.imag) / (2 * math.pi)
+            C = C * jnp.where(freqs < self.bandlimit * 0.5, 1.0, 0.0)
         B = self._broadcast(_r2c(self.B), 1)               # (1, H, N2)
         P = self._broadcast(_r2c(self.P), 1)               # (r, H, N2)
         Q = jnp.conj(P)
@@ -158,11 +162,15 @@ class SSKernelNPLR(nn.Module):
             C, internal_L = extend_C(C, dA, internal_L, L)
         discrete_L = int(round(internal_L / rate))
 
-        # FFT nodes (c64 pow accumulation matches reference roundoff at the
-        # Nyquist node, where the exact bilinear image is infinite).
-        omega = jnp.exp(jnp.asarray(-2j * np.pi / discrete_L, jnp.complex64)
-                        ) ** jnp.arange(discrete_L // 2 + 1)
-        z = 2 * (1 - omega) / (1 + omega)
+        # FFT nodes as HOST numpy constants: c64 pow accumulation matches
+        # the reference roundoff at the Nyquist node (where the exact
+        # bilinear image is infinite), and numpy constants embed into the
+        # compiled program without any device->host readback at lowering.
+        omega_np = (np.complex64(np.exp(-2j * np.pi / discrete_L))
+                    ** np.arange(discrete_L // 2 + 1, dtype=np.float32))
+        omega_np = omega_np.astype(np.complex64)
+        z_np = (2 * (1 - omega_np) / (1 + omega_np)).astype(np.complex64)
+        omega, z = jnp.asarray(omega_np), jnp.asarray(z_np)
 
         wt = w * dt[:, None]                               # (H, N2)
 
@@ -225,6 +233,7 @@ class SSKernelDiag(nn.Module):
     dt_max: float = 0.1
     disc: str = "bilinear"
     deterministic: bool = False
+    bandlimit: Optional[float] = None
 
     def setup(self):
         H, N2 = self.H, self.N // 2
@@ -269,6 +278,9 @@ class SSKernelDiag(nn.Module):
         A = jnp.tile(A, (rep, 1))                          # (H, N2)
         B = jnp.tile(_r2c(self.B), (rep, 1))               # (H, N2)
         C = C * B
+        if self.bandlimit is not None:
+            freqs = dt[:, None] / rate * jnp.abs(A.imag) / (2 * math.pi)
+            C = C * jnp.where(freqs < self.bandlimit * 0.5, 1.0, 0.0)
         dtA = A * dt[:, None]
 
         if self.disc == "zoh":
@@ -357,22 +369,48 @@ class S4(nn.Module):
         L_kernel = L if not self.l_max else min(L, self.l_max)
         return self.kernel(L_kernel)
 
-    def __call__(self, u: jnp.ndarray, kernel: Optional[jnp.ndarray] = None,
-                 train: bool = False) -> jnp.ndarray:
-        """u: (B, H, L) -> (B, H, L)."""
-        L = u.shape[-1]
-        k = self.compute_kernel(L) if kernel is None else kernel
-        L_kernel = k.shape[-1]
+    def compute_kernel_freq(self, L: int) -> jnp.ndarray:
+        """Frequency-domain kernel: bidirectional-combined, padded, rfft'd.
 
+        Everything about the convolution kernel — including its FFT — is
+        independent of the diffusion step and the input, so the sampling
+        scan reuses this across all T steps (the reference recomputes kernel
+        AND its FFT in every forward).  Shape (channels, H, n//2+1) c64 with
+        n = L_kernel + L.
+        """
+        k = self.compute_kernel(L)
+        L_kernel = k.shape[-1]
         if self.bidirectional:
             c = self.channels
             k0, k1 = k[:c], k[c:]
             k = jnp.pad(k0, ((0, 0), (0, 0), (0, L))) \
                 + jnp.pad(jnp.flip(k1, axis=-1), ((0, 0), (0, 0), (L, 0)))
+        return jnp.fft.rfft(k.astype(jnp.float32), n=L_kernel + L)
+
+    def __call__(self, u: jnp.ndarray, kernel: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
+        """u: (B, H, L) -> (B, H, L).
+
+        ``kernel`` may be a time-domain kernel from :meth:`compute_kernel`
+        (real) or a precomputed frequency-domain kernel from
+        :meth:`compute_kernel_freq` (complex) — dispatched on dtype.
+        """
+        L = u.shape[-1]
+        if kernel is not None and jnp.iscomplexobj(kernel):
+            k_f = kernel                                   # (c, H, n/2+1)
+            L_kernel = L if not self.l_max else min(L, self.l_max)
+        else:
+            k = self.compute_kernel(L) if kernel is None else kernel
+            L_kernel = k.shape[-1]
+            if self.bidirectional:
+                c = self.channels
+                k0, k1 = k[:c], k[c:]
+                k = jnp.pad(k0, ((0, 0), (0, 0), (0, L))) \
+                    + jnp.pad(jnp.flip(k1, axis=-1), ((0, 0), (0, 0), (L, 0)))
+            k_f = jnp.fft.rfft(k.astype(jnp.float32), n=L_kernel + L)
 
         n = L_kernel + L
         u32 = u.astype(jnp.float32)
-        k_f = jnp.fft.rfft(k.astype(jnp.float32), n=n)     # (c, H, n/2+1)
         u_f = jnp.fft.rfft(u32, n=n)                       # (B, H, n/2+1)
         y_f = jnp.einsum("bhl,chl->bchl", u_f, k_f)
         y = jnp.fft.irfft(y_f, n=n)[..., :L]               # (B, c, H, L)

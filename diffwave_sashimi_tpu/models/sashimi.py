@@ -151,6 +151,9 @@ class DiffWaveBlock(nn.Module):
     def compute_kernel(self, L: int) -> jnp.ndarray:
         return self.s4.compute_kernel(L)
 
+    def compute_kernel_freq(self, L: int) -> jnp.ndarray:
+        return self.s4.compute_kernel_freq(L)
+
 
 class Sashimi(nn.Module):
     """eps_theta((x_t, t), mel) with the reference constructor surface."""
@@ -169,6 +172,7 @@ class Sashimi(nn.Module):
     unconditional: bool = True
     mel_upsample: Sequence[int] = (16, 16)
     L: int = 16000
+    remat: bool = False   # jax.checkpoint each block (memory <-> recompute)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -188,12 +192,13 @@ class Sashimi(nn.Module):
                                  self.diffusion_step_embed_dim_out,
                                  name="fc_t2", **kw)
 
+        Block = nn.remat(DiffWaveBlock) if self.remat else DiffWaveBlock
         H, L = self.d_model, self.L
         d_mods, d_kinds = [], []
         for si, p in enumerate(self.pool):
             if self.unet:
                 for j in range(self.n_layers):
-                    d_mods.append(DiffWaveBlock(
+                    d_mods.append(Block(
                         d_model=H, L=L, name=f"d{si}_block{j}", **bkw))
                     d_kinds.append("block")
             d_mods.append(DownPool(H, H * self.expand, pool=p,
@@ -203,7 +208,7 @@ class Sashimi(nn.Module):
             H *= self.expand
         self.d_mods, self.d_kinds = d_mods, tuple(d_kinds)
 
-        self.c_mods = [DiffWaveBlock(d_model=H, L=L, name=f"c_block{j}",
+        self.c_mods = [Block(d_model=H, L=L, name=f"c_block{j}",
                                      **bkw)
                        for j in range(self.n_layers)]
 
@@ -215,7 +220,7 @@ class Sashimi(nn.Module):
                                  name=f"up{si}", **kw))
             u_kinds.append("pool")
             for j in range(self.n_layers):
-                u_mods.append(DiffWaveBlock(
+                u_mods.append(Block(
                     d_model=H, L=L, name=f"u{si}_block{j}", **bkw))
                 u_kinds.append("block")
         self.u_mods, self.u_kinds = u_mods, tuple(u_kinds)
@@ -242,22 +247,27 @@ class Sashimi(nn.Module):
             u_L.extend([L] * self.n_layers)
         return d_L, c_L, u_L
 
-    def compute_kernels(self, audio_length: int) -> Dict[str, jnp.ndarray]:
+    def compute_kernels(self, audio_length: int,
+                        freq: bool = False) -> Dict[str, jnp.ndarray]:
         """All S4 conv kernels for sequences of ``audio_length`` samples.
 
         Pure function of parameters — call once, reuse across all T sampling
-        steps (the reference recomputes these every network forward).
+        steps (the reference recomputes these every network forward).  With
+        ``freq=True`` the kernels are returned already combined + rfft'd
+        (complex), removing 2x n_blocks FFTs from every sampling step.
         """
         d_L, c_L, u_L = self._stage_lengths(audio_length)
+        get = (lambda m, L: m.compute_kernel_freq(L)) if freq \
+            else (lambda m, L: m.compute_kernel(L))
         kernels: Dict[str, jnp.ndarray] = {}
         for mod, L in zip(self.d_mods, d_L):
             if L is not None:
-                kernels[mod.name] = mod.compute_kernel(L)
+                kernels[mod.name] = get(mod, L)
         for mod, L in zip(self.c_mods, c_L):
-            kernels[mod.name] = mod.compute_kernel(L)
+            kernels[mod.name] = get(mod, L)
         for mod, L in zip(self.u_mods, u_L):
             if L is not None:
-                kernels[mod.name] = mod.compute_kernel(L)
+                kernels[mod.name] = get(mod, L)
         return kernels
 
     def __call__(self, audio: jnp.ndarray, diffusion_steps: jnp.ndarray,

@@ -91,6 +91,7 @@ class WaveNet(nn.Module):
     diffusion_step_embed_dim_out: int = 512
     unconditional: bool = True
     mel_upsample: Sequence[int] = (16, 16)
+    remat: bool = False   # jax.checkpoint each residual block
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -119,8 +120,9 @@ class WaveNet(nn.Module):
         skip_sum = jnp.zeros(
             (x.shape[0], self.skip_channels, x.shape[2]), self.dtype)
         h = x
+        Block = nn.remat(ResidualBlock) if self.remat else ResidualBlock
         for n in range(self.num_res_layers):
-            h, skip = ResidualBlock(
+            h, skip = Block(
                 res_channels=self.res_channels,
                 skip_channels=self.skip_channels,
                 dilation=2 ** (n % self.dilation_cycle),

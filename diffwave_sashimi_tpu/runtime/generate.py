@@ -35,18 +35,23 @@ from ..data.wav import save_wav, load_wav_raw
 from .checkpoint import load_checkpoint, smooth_checkpoints
 
 
-def make_apply_fn(model, params, audio_length: int):
-    """Sampling-ready apply fn with any step-independent work hoisted."""
-    if isinstance(model, Sashimi):
-        kernels = jax.jit(lambda p: model.apply(
-            p, audio_length, method=Sashimi.compute_kernels))(params)
+def precompute_kernels(model, params, audio_length: int):
+    """Step-independent S4 kernels, computed once per generation length.
 
-        def apply_fn(p, x, t, mel=None):
-            return model.apply(p, x, t, mel, kernels)
-    else:
-        def apply_fn(p, x, t, mel=None):
-            return model.apply(p, x, t, mel)
-    return apply_fn
+    Returned as a pytree that MUST be passed as a jit argument (closing over
+    device arrays would embed them as compiled-program constants, forcing a
+    device->host readback of every kernel at lowering).
+    """
+    if isinstance(model, Sashimi):
+        return jax.jit(lambda p: model.apply(
+            p, audio_length, True, method=Sashimi.compute_kernels))(params)
+    return None
+
+
+def apply_with_kernels(model, p, x, t, mel=None, kernels=None):
+    if kernels is not None:
+        return model.apply(p, x, t, mel, kernels)
+    return model.apply(p, x, t, mel)
 
 
 def resolve_condition(dataset_cfg, mel_path: Optional[str],
@@ -75,7 +80,8 @@ def generate(diffusion_cfg, model_cfg, dataset_cfg,
              batch_size: Optional[int] = None, ckpt_smooth=None,
              mel_path: Optional[str] = None, mel_name: Optional[str] = None,
              params=None, rank: int = 0, world: int = 1, seed: int = 0,
-             precision: str = "f32", write_wavs: bool = True) -> np.ndarray:
+             precision: str = "f32", write_wavs: bool = True,
+             profile_dir: Optional[str] = None) -> np.ndarray:
     """Sample ``n_samples`` waveforms; returns (n_samples, 1, L) numpy.
 
     ``params`` short-circuits checkpoint loading (used for in-training
@@ -112,23 +118,33 @@ def generate(diffusion_cfg, model_cfg, dataset_cfg,
         batch_size = n_samples
     assert n_samples % batch_size == 0
 
-    apply_fn = make_apply_fn(model, params, audio_length)
+    kernels = precompute_kernels(model, params, audio_length)
     cond_dev = None if condition is None else jnp.asarray(
         np.repeat(condition, batch_size, axis=0))
 
     @jax.jit
-    def run(p, rng):
+    def run(p, k, cond, rng):
+        def apply_fn(pp, x, t, mel=None):
+            return apply_with_kernels(model, pp, x, t, mel, kernels=k)
         return sampling(apply_fn, p, (batch_size, 1, audio_length),
-                        schedule, rng, condition=cond_dev)
+                        schedule, rng, condition=cond)
 
     key = jax.random.fold_in(jax.random.PRNGKey(seed), rank)
+    # warm the compile outside the timed/profiled region
+    key, warm = jax.random.split(key)
+    run(params, kernels, cond_dev, warm).block_until_ready()
+
+    import contextlib
+    prof = (jax.profiler.trace(profile_dir) if profile_dir
+            else contextlib.nullcontext())
     chunks = []
     t0 = time.time()
-    for i in range(n_samples // batch_size):
-        key, sub = jax.random.split(key)
-        chunks.append(run(params, sub))
-    generated = jnp.concatenate(chunks, axis=0)
-    generated.block_until_ready()
+    with prof:
+        for i in range(n_samples // batch_size):
+            key, sub = jax.random.split(key)
+            chunks.append(run(params, kernels, cond_dev, sub))
+        generated = jnp.concatenate(chunks, axis=0)
+        generated.block_until_ready()
     elapsed = time.time() - t0
 
     sr = int(dataset_cfg["sampling_rate"])
@@ -151,12 +167,15 @@ def main(argv=None):
     import sys
     from ..config import load_config
 
+    from ..utils import enable_compile_cache
+    enable_compile_cache()
     cfg = load_config(overrides=(argv if argv is not None else sys.argv[1:]))
     print(cfg.to_yaml())
     gen_cfg = dict(cfg.generate)
     generate(cfg.diffusion, cfg.model, cfg.dataset,
              name=cfg.train.get("name"),
              precision=cfg.get_path("compute.precision", "f32"),
+             profile_dir=cfg.get_path("compute.profile_dir"),
              **gen_cfg)
 
 

@@ -37,6 +37,37 @@ from .metrics import MetricsLogger
 from .generate import generate
 
 
+SSM_PARAM_NAMES = frozenset(
+    {"log_dt", "B", "P", "inv_w_real", "w_imag", "inv_A_real", "A_imag"})
+
+
+def make_optimizer(learning_rate: float, s4_lr: Optional[float] = None):
+    """Adam, optionally with a separate lr for the S4 SSM tensors.
+
+    The reference registers per-parameter lr hints on the SSM tensors
+    (models/s4.py:505-518 ``OptimModule.register``) but ships no optimizer
+    hook that consumes them, so everything trains at the global Adam lr
+    (SURVEY §2.1 #9).  Default (``s4_lr=None``) reproduces that.  Setting
+    ``train.s4_lr`` honors the hints' intent via an optax multi_transform —
+    a deliberate, documented divergence.
+    """
+    if s4_lr is None:
+        return optax.adam(learning_rate)
+
+    def label(params):
+        def walk(tree, in_kernel=False):
+            return {k: (walk(v, in_kernel or k == "kernel")
+                        if isinstance(v, dict)
+                        else ("s4" if in_kernel and k in SSM_PARAM_NAMES
+                              else "default"))
+                    for k, v in tree.items()}
+        return walk(params)
+
+    return optax.multi_transform(
+        {"default": optax.adam(learning_rate), "s4": optax.adam(s4_lr)},
+        label)
+
+
 def make_train_step(model, optimizer, schedule):
     """One jitted step: (params, opt_state, batch, mel, rng) -> (..., loss)."""
 
@@ -59,6 +90,7 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
           ckpt_iter="max", n_iters: int = 1000001,
           iters_per_ckpt: int = 10000, iters_per_logging: int = 100,
           learning_rate: float = 2e-4, batch_size_per_gpu: int = 4,
+          s4_lr: Optional[float] = None,
           name: Optional[str] = None, mesh_cfg=None, compute_cfg=None,
           wandb_cfg=None, run_config=None, seed: int = 0,
           data_loader=None, max_seconds: Optional[float] = None
@@ -78,6 +110,7 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
     n_dev = mesh.devices.size
     global_batch = batch_size_per_gpu * n_dev
     precision = (compute_cfg or {}).get("precision", "bf16")
+    remat = bool((compute_cfg or {}).get("remat", False))
 
     if data_loader is None:
         data_loader = dataloader(dataset_cfg, batch_size=global_batch,
@@ -85,7 +118,7 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
     print(f"Data loaded: {len(data_loader)} batches of {global_batch} "
           f"({n_dev} devices)", flush=True)
 
-    model = construct_model(model_cfg, precision=precision)
+    model = construct_model(model_cfg, precision=precision, remat=remat)
     unconditional = bool(model_cfg["unconditional"])
 
     # Init params (abstractly cheap: one real init on the first batch shape)
@@ -105,7 +138,7 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
     print(f"{model.__class__.__name__} Parameters: {n_params / 1e6:.6f}M",
           flush=True)
 
-    optimizer = optax.adam(learning_rate)
+    optimizer = make_optimizer(learning_rate, s4_lr)
     opt_state = optimizer.init(params)
 
     # Resume
@@ -208,6 +241,8 @@ def main(argv=None):
     import sys
     from ..config import load_config
 
+    from ..utils import enable_compile_cache
+    enable_compile_cache()
     cfg = load_config(overrides=(argv if argv is not None else sys.argv[1:]))
     print(cfg.to_yaml())
     os.makedirs("exp/", mode=0o775, exist_ok=True)

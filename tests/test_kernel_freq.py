@@ -1,0 +1,33 @@
+"""Frequency-domain kernel hoisting must be output-identical."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffwave_sashimi_tpu.models.s4 import S4
+from diffwave_sashimi_tpu.models.sashimi import Sashimi
+
+
+def test_s4_freq_kernel_identical():
+    H, N, L = 4, 8, 96
+    mod = S4(d_model=H, d_state=N, l_max=L, bidirectional=True)
+    params = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, H, L)))
+    u = jax.random.normal(jax.random.PRNGKey(1), (2, H, L))
+    y0 = mod.apply(params, u)
+    kf = mod.apply(params, L, method=S4.compute_kernel_freq)
+    assert jnp.iscomplexobj(kf)
+    y1 = mod.apply(params, u, kernel=kf)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
+
+def test_sashimi_freq_kernels_identical():
+    L = 256
+    model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), L=L)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, L)),
+                        jnp.zeros((1,), jnp.int32))
+    audio = jax.random.normal(jax.random.PRNGKey(1), (2, 1, L))
+    steps = jnp.array([5, 6])
+    y0 = model.apply(params, audio, steps)
+    kf = model.apply(params, L, True, method=Sashimi.compute_kernels)
+    y1 = model.apply(params, audio, steps, None, kf)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
