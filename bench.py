@@ -28,7 +28,7 @@ enable_compile_cache()
 
 
 def build(batch: int, d_model: int = 128, L: int = 16000, T: int = 200):
-    from diffwave_sashimi_tpu.diffusion import diffusion_schedule, sampling
+    from diffwave_sashimi_tpu.diffusion import (diffusion_schedule, sampling_pipelined, make_sampling_step)
     from diffwave_sashimi_tpu.models.sashimi import Sashimi
 
     model = Sashimi(d_model=d_model, n_layers=6, pool=(4, 4), expand=2, ff=2,
@@ -43,13 +43,16 @@ def build(batch: int, d_model: int = 128, L: int = 16000, T: int = 200):
     kernels = jax.jit(lambda p: model.apply(
         p, L, True, method=Sashimi.compute_kernels))(params)
 
-    # kernels enter as a jit ARGUMENT: closing over device arrays would
-    # embed them as constants and force a slow device->host readback
-    @jax.jit
+    # pipelined host-loop sampler: one jitted step dispatched T times
+    # (device-side scan loops are pathologically slow on this backend)
+    shape = (batch, 1, L)
+    step_fn = make_sampling_step(
+        lambda pk, x, t, mel: model.apply(pk[0], x, t, mel, pk[1]),
+        shape, schedule)
+
     def run(p, k, rng):
-        def apply_fn(pp, x, t, mel=None):
-            return model.apply(pp, x, t, mel, k)
-        return sampling(apply_fn, p, (batch, 1, L), schedule, rng)
+        return sampling_pipelined(None, (p, k), shape, schedule, rng,
+                                  step_fn=step_fn)
 
     return run, params, kernels
 

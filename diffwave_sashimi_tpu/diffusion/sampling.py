@@ -21,6 +21,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .schedule import DiffusionSchedule
 
@@ -65,3 +66,50 @@ def sampling(apply_fn: Callable,
     ts = jnp.arange(schedule.T - 1, -1, -1, dtype=jnp.int32)
     (x_0, _), _ = jax.lax.scan(step, (x_T, scan_rng), ts)
     return x_0
+
+
+def make_sampling_step(apply_fn, shape, schedule, dtype=jnp.float32):
+    """Jitted single reverse step for the pipelined (host-loop) sampler.
+
+    Why not one big ``lax.scan``: device-side while loops execute each
+    iteration ~2 orders of magnitude slower than the identical body
+    dispatched as a standalone program on the axon TPU backend (measured:
+    0.4 ms/forward pipelined vs 576 ms/step inside scan).  A host loop of T
+    async dispatches keeps every step as a top-level XLA program; data
+    dependencies chain on-device, so the loop costs T * dispatch (~0.4 ms)
+    + one round trip, not T round trips.
+    """
+    B = shape[0]
+
+    @jax.jit
+    def step(params, x, condition, keys, sched, t):
+        # t: scalar int32 (the only per-step varying host input)
+        alpha_t = sched[0, t]
+        abar_t = sched[1, t]
+        sigma_t = sched[2, t]
+        t_batch = jnp.full((B,), t, dtype=jnp.int32)
+        eps = apply_fn(params, x, t_batch, condition).astype(dtype)
+        x = (x - (1.0 - alpha_t) / jnp.sqrt(1.0 - abar_t) * eps) \
+            / jnp.sqrt(alpha_t)
+        noise = jax.random.normal(keys[t], shape, dtype)
+        return jnp.where(t > 0, x + sigma_t * noise, x)
+
+    return step
+
+
+def sampling_pipelined(apply_fn, params, shape, schedule, rng,
+                       condition=None, dtype=jnp.float32,
+                       step_fn=None) -> jnp.ndarray:
+    """Reverse diffusion as T pipelined dispatches (same math as `sampling`)."""
+    init_rng, loop_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape, dtype=dtype)
+    keys = jax.random.split(loop_rng, schedule.T)
+    sched = jnp.stack([schedule.alpha, schedule.alpha_bar,
+                       schedule.sigma]).astype(dtype)
+    if step_fn is None:
+        step_fn = make_sampling_step(apply_fn, shape, schedule, dtype)
+
+    for t in range(schedule.T - 1, -1, -1):
+        x = step_fn(params, x, condition, keys, sched,
+                    np.int32(t))
+    return x

@@ -52,6 +52,14 @@ def _c2r(x: np.ndarray) -> np.ndarray:
     return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
 
 
+def _fft_size(min_n: int) -> int:
+    """Next power of two >= min_n: radix-2 FFTs are much faster on TPU than
+    the mixed-radix sizes the reference uses (n = L_kernel + L, e.g. 32000).
+    Any n >= L + L_kernel - 1 gives the identical linear-convolution result
+    on the kept [0, L) samples."""
+    return 1 << (min_n - 1).bit_length()
+
+
 class SSKernelNPLR(nn.Module):
     """K_L(dA, dB, C~) for A = diag(w) - P P^* (full S4).
 
@@ -385,7 +393,7 @@ class S4(nn.Module):
             k0, k1 = k[:c], k[c:]
             k = jnp.pad(k0, ((0, 0), (0, 0), (0, L))) \
                 + jnp.pad(jnp.flip(k1, axis=-1), ((0, 0), (0, 0), (L, 0)))
-        return jnp.fft.rfft(k.astype(jnp.float32), n=L_kernel + L)
+        return jnp.fft.rfft(k.astype(jnp.float32), n=_fft_size(L_kernel + L))
 
     def __call__(self, u: jnp.ndarray, kernel: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
@@ -407,12 +415,16 @@ class S4(nn.Module):
                 k0, k1 = k[:c], k[c:]
                 k = jnp.pad(k0, ((0, 0), (0, 0), (0, L))) \
                     + jnp.pad(jnp.flip(k1, axis=-1), ((0, 0), (0, 0), (L, 0)))
-            k_f = jnp.fft.rfft(k.astype(jnp.float32), n=L_kernel + L)
+            k_f = jnp.fft.rfft(k.astype(jnp.float32),
+                               n=_fft_size(L_kernel + L))
 
-        n = L_kernel + L
+        n = _fft_size(L_kernel + L)
         u32 = u.astype(jnp.float32)
         u_f = jnp.fft.rfft(u32, n=n)                       # (B, H, n/2+1)
-        y_f = jnp.einsum("bhl,chl->bchl", u_f, k_f)
+        if k_f.shape[0] == 1:
+            y_f = (u_f * k_f[0])[:, None]                  # (B, 1, H, n/2+1)
+        else:
+            y_f = jnp.einsum("bhl,chl->bchl", u_f, k_f)
         y = jnp.fft.irfft(y_f, n=n)[..., :L]               # (B, c, H, L)
 
         y = y + jnp.einsum("bhl,ch->bchl", u32, self.D.astype(jnp.float32))

@@ -155,6 +155,61 @@ class DiffWaveBlock(nn.Module):
         return self.s4.compute_kernel_freq(L)
 
 
+class _ScanBlock(nn.Module):
+    """Scan-compatible adapter around DiffWaveBlock.
+
+    ``nn.scan`` over this class runs a whole stage of n_layers identical
+    blocks as ONE compiled loop body with stacked parameters — compile time
+    per stage is one block, not n_layers blocks, and the structure is what
+    XLA wants (a while loop over weights), replacing the reference's
+    unrolled nn.ModuleList (models/sashimi.py:247-269).
+
+    __call__(carry_x, kernel, skip, embed, mel, train) -> (x', emitted_skip)
+      - kernel: this block's (stacked-over-blocks) S4 kernel, or None to
+        compute in-block
+      - skip: UNet skip to ADD after the block (u-stages), or None
+      - emitted skip: the pre-block x (d-stages push onto the UNet stack)
+    """
+
+    d_model: int
+    L: int
+    ff: int = 2
+    diffusion_step_embed_dim_out: int = 512
+    unconditional: bool = True
+    mel_upsample: Sequence[int] = (16, 16)
+    emit_skip: bool = False
+    consume_skip: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.block = DiffWaveBlock(
+            d_model=self.d_model, L=self.L, ff=self.ff,
+            diffusion_step_embed_dim_out=self.diffusion_step_embed_dim_out,
+            unconditional=self.unconditional,
+            mel_upsample=tuple(self.mel_upsample),
+            dtype=self.dtype, param_dtype=self.param_dtype, name="block")
+
+    def __call__(self, x, kernel, skip, embed, mel_spec, train=False):
+        emitted = x if self.emit_skip else None
+        y = self.block(x, embed, mel_spec, kernel=kernel, train=train)
+        if self.consume_skip:
+            y = y + skip
+        return y, emitted
+
+
+def _make_stack(n: int, remat: bool, **cfg):
+    cls = nn.remat(_ScanBlock) if remat else _ScanBlock
+    scan = nn.scan(
+        cls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=(0, 0, nn.broadcast, nn.broadcast, nn.broadcast),
+        out_axes=0,
+        length=n)
+    return scan(**cfg)
+
+
 class Sashimi(nn.Module):
     """eps_theta((x_t, t), mel) with the reference constructor surface."""
 
@@ -172,6 +227,7 @@ class Sashimi(nn.Module):
     unconditional: bool = True
     mel_upsample: Sequence[int] = (16, 16)
     L: int = 16000
+    block_scan: bool = True  # nn.scan stages (stacked params, 1-block compile)
     remat: bool = False   # jax.checkpoint each block (memory <-> recompute)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -192,38 +248,69 @@ class Sashimi(nn.Module):
                                  self.diffusion_step_embed_dim_out,
                                  name="fc_t2", **kw)
 
-        Block = nn.remat(DiffWaveBlock) if self.remat else DiffWaveBlock
         H, L = self.d_model, self.L
-        d_mods, d_kinds = [], []
-        for si, p in enumerate(self.pool):
-            if self.unet:
+        if self.block_scan:
+            n = self.n_layers
+            d_stacks, d_pools, stage_dims = [], [], []
+            for si, p in enumerate(self.pool):
+                stage_dims.append((H, L))
+                if self.unet:
+                    d_stacks.append(_make_stack(
+                        n, self.remat, d_model=H, L=L, emit_skip=True,
+                        name=f"d{si}_blocks", **bkw))
+                d_pools.append(DownPool(H, H * self.expand, pool=p,
+                                        name=f"down{si}", **kw))
+                L //= p
+                H *= self.expand
+            self.d_stacks, self.d_pools = d_stacks, d_pools
+            self._stage_dims = tuple(stage_dims)
+            self._center_dims = (H, L)
+
+            self.c_stack = _make_stack(n, self.remat, d_model=H, L=L,
+                                       name="c_blocks", **bkw)
+
+            u_stacks, u_pools = [], []
+            for si, p in enumerate(self.pool[::-1]):
+                H //= self.expand
+                L *= p
+                u_pools.append(UpPool(H * self.expand, H, pool=p,
+                                      name=f"up{si}", **kw))
+                u_stacks.append(_make_stack(
+                    n, self.remat, d_model=H, L=L,
+                    consume_skip=self.unet, name=f"u{si}_blocks", **bkw))
+            self.u_stacks, self.u_pools = u_stacks, u_pools
+        else:
+            Block = nn.remat(DiffWaveBlock) if self.remat else DiffWaveBlock
+            d_mods, d_kinds = [], []
+            for si, p in enumerate(self.pool):
+                if self.unet:
+                    for j in range(self.n_layers):
+                        d_mods.append(Block(
+                            d_model=H, L=L, name=f"d{si}_block{j}", **bkw))
+                        d_kinds.append("block")
+                d_mods.append(DownPool(H, H * self.expand, pool=p,
+                                       name=f"down{si}", **kw))
+                d_kinds.append("pool")
+                L //= p
+                H *= self.expand
+            self.d_mods, self.d_kinds = d_mods, tuple(d_kinds)
+
+            self.c_mods = [Block(d_model=H, L=L, name=f"c_block{j}",
+                                 **bkw)
+                           for j in range(self.n_layers)]
+
+            u_mods, u_kinds = [], []
+            for si, p in enumerate(self.pool[::-1]):
+                H //= self.expand
+                L *= p
+                u_mods.append(UpPool(H * self.expand, H, pool=p,
+                                     name=f"up{si}", **kw))
+                u_kinds.append("pool")
                 for j in range(self.n_layers):
-                    d_mods.append(Block(
-                        d_model=H, L=L, name=f"d{si}_block{j}", **bkw))
-                    d_kinds.append("block")
-            d_mods.append(DownPool(H, H * self.expand, pool=p,
-                                   name=f"down{si}", **kw))
-            d_kinds.append("pool")
-            L //= p
-            H *= self.expand
-        self.d_mods, self.d_kinds = d_mods, tuple(d_kinds)
-
-        self.c_mods = [Block(d_model=H, L=L, name=f"c_block{j}",
-                                     **bkw)
-                       for j in range(self.n_layers)]
-
-        u_mods, u_kinds = [], []
-        for si, p in enumerate(self.pool[::-1]):
-            H //= self.expand
-            L *= p
-            u_mods.append(UpPool(H * self.expand, H, pool=p,
-                                 name=f"up{si}", **kw))
-            u_kinds.append("pool")
-            for j in range(self.n_layers):
-                u_mods.append(Block(
-                    d_model=H, L=L, name=f"u{si}_block{j}", **bkw))
-                u_kinds.append("block")
-        self.u_mods, self.u_kinds = u_mods, tuple(u_kinds)
+                    u_mods.append(Block(
+                        d_model=H, L=L, name=f"u{si}_block{j}", **bkw))
+                    u_kinds.append("block")
+            self.u_mods, self.u_kinds = u_mods, tuple(u_kinds)
 
         self.norm = TransposedLN(name="norm", **kw)
         self.final_conv1 = WNConv1d(self.d_model, self.d_model, kernel_size=1,
@@ -247,6 +334,35 @@ class Sashimi(nn.Module):
             u_L.extend([L] * self.n_layers)
         return d_L, c_L, u_L
 
+    @nn.nowrap
+    def _block_template(self, H: int, L_trained: int) -> DiffWaveBlock:
+        # parent=None: a detached template for raw-vmap application over the
+        # stacked stage params (never bound into this module's tree)
+        return DiffWaveBlock(
+            d_model=H, L=L_trained, ff=self.ff,
+            diffusion_step_embed_dim_out=self.diffusion_step_embed_dim_out,
+            unconditional=self.unconditional,
+            mel_upsample=tuple(self.mel_upsample),
+            dtype=self.dtype, param_dtype=self.param_dtype, parent=None)
+
+    def _scan_stage_info(self, audio_length: int):
+        """[(stage_name, H, L_trained, L_gen)] for every block stack."""
+        info = []
+        Lg = audio_length
+        dims = list(self._stage_dims)
+        for si, (H, Lt) in enumerate(dims):
+            if self.unet:
+                info.append((f"d{si}_blocks", H, Lt, Lg))
+            Lg //= self.pool[si]
+        Hc, Lc = self._center_dims
+        info.append(("c_blocks", Hc, Lc, Lg))
+        n_stages = len(dims)
+        for si in range(n_stages):
+            H, Lt = dims[n_stages - 1 - si]
+            Lg *= self.pool[n_stages - 1 - si]
+            info.append((f"u{si}_blocks", H, Lt, Lg))
+        return info
+
     def compute_kernels(self, audio_length: int,
                         freq: bool = False) -> Dict[str, jnp.ndarray]:
         """All S4 conv kernels for sequences of ``audio_length`` samples.
@@ -255,11 +371,31 @@ class Sashimi(nn.Module):
         steps (the reference recomputes these every network forward).  With
         ``freq=True`` the kernels are returned already combined + rfft'd
         (complex), removing 2x n_blocks FFTs from every sampling step.
+
+        In ``block_scan`` layout the values are stacked per stage,
+        shape (n_layers, ...), keyed by stage name.
         """
+        if self.block_scan:
+            # raw vmap over each stage's stacked params (no flax lifting:
+            # the bound scan modules own the params; we read them directly)
+            method = (DiffWaveBlock.compute_kernel_freq if freq
+                      else DiffWaveBlock.compute_kernel)
+            all_params = self.variables["params"]
+            kernels: Dict[str, jnp.ndarray] = {}
+            for name, H, Lt, Lg in self._scan_stage_info(audio_length):
+                tmpl = self._block_template(H, Lt)
+                stacked = all_params[name]["block"]
+
+                def one(p, tmpl=tmpl, Lg=Lg):
+                    return tmpl.apply({"params": p}, Lg, method=method)
+
+                kernels[name] = jax.vmap(one)(stacked)
+            return kernels
+
         d_L, c_L, u_L = self._stage_lengths(audio_length)
         get = (lambda m, L: m.compute_kernel_freq(L)) if freq \
             else (lambda m, L: m.compute_kernel(L))
-        kernels: Dict[str, jnp.ndarray] = {}
+        kernels = {}
         for mod, L in zip(self.d_mods, d_L):
             if L is not None:
                 kernels[mod.name] = get(mod, L)
@@ -276,8 +412,6 @@ class Sashimi(nn.Module):
                  train: bool = False) -> jnp.ndarray:
         assert audio.shape[-1] % int(
             math.prod(self.pool)) == 0, "audio length must divide the pooling"
-        k = (lambda mod: None) if kernels is None else (
-            lambda mod: kernels.get(mod.name))
 
         x = audio.astype(self.dtype)
         x = jax.nn.relu(self.init_conv(x))
@@ -288,6 +422,42 @@ class Sashimi(nn.Module):
         embed = swish(self.fc_t1(embed))
         embed = swish(self.fc_t2(embed))
 
+        if self.block_scan:
+            kget = (lambda name: None) if kernels is None else kernels.get
+            pool_skips, stage_skips = [], []
+            for si, dp in enumerate(self.d_pools):
+                if self.unet:
+                    x, emitted = self.d_stacks[si](
+                        x, kget(f"d{si}_blocks"), None, embed, mel_spec,
+                        train)
+                    stage_skips.append(emitted)   # (n, B, H, L) pre-block xs
+                pool_skips.append(x)              # pre-DownPool
+                x = dp(x)
+
+            c_pre = x
+            x, _ = self.c_stack(x, kget("c_blocks"), None, embed, mel_spec,
+                                train)
+            x = x + c_pre
+
+            n_stages = len(self.d_pools)
+            for si, up in enumerate(self.u_pools):
+                x = up(x)
+                x = x + pool_skips.pop()
+                skips = None
+                if self.unet:
+                    # u blocks consume the matching d stage's pre-block xs
+                    # in reverse push order (the reference's outputs.pop())
+                    skips = jnp.flip(stage_skips[n_stages - 1 - si], axis=0)
+                x, _ = self.u_stacks[si](
+                    x, kget(f"u{si}_blocks"), skips, embed, mel_spec, train)
+
+            x = self.norm(x)
+            x = jax.nn.relu(self.final_conv1(x))
+            x = self.final_conv2(x)
+            return x.astype(jnp.float32)
+
+        k = (lambda mod: None) if kernels is None else (
+            lambda mod: kernels.get(mod.name))
         outputs = []
         for mod, kind in zip(self.d_mods, self.d_kinds):
             outputs.append(x)

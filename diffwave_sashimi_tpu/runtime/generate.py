@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..diffusion import schedule_from_cfg, sampling
+from ..diffusion import (schedule_from_cfg, sampling, sampling_pipelined, make_sampling_step)
 from ..models import construct_model
 from ..models.sashimi import Sashimi
 from ..utils.exp import local_directory
@@ -122,12 +122,21 @@ def generate(diffusion_cfg, model_cfg, dataset_cfg,
     cond_dev = None if condition is None else jnp.asarray(
         np.repeat(condition, batch_size, axis=0))
 
-    @jax.jit
+    def apply_fn(pp, x, t, mel=None, _k=None):
+        return apply_with_kernels(model, pp, x, t, mel, kernels=_k)
+
+    # One jitted STEP, dispatched T times from the host (pipelined): on the
+    # axon backend a device-side lax.scan executes iterations ~100x slower
+    # than the identical body as a top-level program (see sampling.py).
+    shape = (batch_size, 1, audio_length)
+    step_fn = make_sampling_step(
+        lambda p_and_k, x, t, mel: apply_fn(p_and_k[0], x, t, mel,
+                                            _k=p_and_k[1]),
+        shape, schedule)
+
     def run(p, k, cond, rng):
-        def apply_fn(pp, x, t, mel=None):
-            return apply_with_kernels(model, pp, x, t, mel, kernels=k)
-        return sampling(apply_fn, p, (batch_size, 1, audio_length),
-                        schedule, rng, condition=cond)
+        return sampling_pipelined(None, (p, k), shape, schedule, rng,
+                                  condition=cond, step_fn=step_fn)
 
     key = jax.random.fold_in(jax.random.PRNGKey(seed), rank)
     # warm the compile outside the timed/profiled region

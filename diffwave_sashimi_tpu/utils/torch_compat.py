@@ -130,9 +130,36 @@ def _dwblock_from_torch(sd: Mapping[str, Any], prefix: str,
     return blk
 
 
+def stack_sashimi_blocks(p: Dict[str, Any], n_layers: int, pool,
+                         unet: bool = True) -> Dict[str, Any]:
+    """Per-block param layout -> block_scan layout (stacked stage params).
+
+    ``d{si}_block{j}`` (j=0..n-1) -> ``d{si}_blocks: {block: stacked}`` etc.
+    The inverse of iterating a stage's nn.scan axis.
+    """
+    import jax
+
+    out = {k: v for k, v in p.items() if "_block" not in k}
+
+    def stack(names):
+        trees = [p[n] for n in names]
+        return {"block": jax.tree.map(lambda *xs: np.stack(xs), *trees)}
+
+    n_stages = len(pool)
+    if unet:
+        for si in range(n_stages):
+            out[f"d{si}_blocks"] = stack(
+                [f"d{si}_block{j}" for j in range(n_layers)])
+    out["c_blocks"] = stack([f"c_block{j}" for j in range(n_layers)])
+    for si in range(n_stages):
+        out[f"u{si}_blocks"] = stack(
+            [f"u{si}_block{j}" for j in range(n_layers)])
+    return out
+
+
 def sashimi_from_torch(sd: Mapping[str, Any], n_layers: int, pool,
-                       unet: bool = True, conditional: bool = False
-                       ) -> Dict[str, Any]:
+                       unet: bool = True, conditional: bool = False,
+                       block_scan: bool = True) -> Dict[str, Any]:
     """Reference Sashimi state_dict -> flax params['params'] tree.
 
     Layer ordering mirrors the reference ModuleLists (models/sashimi.py:
@@ -173,4 +200,6 @@ def sashimi_from_torch(sd: Mapping[str, Any], n_layers: int, pool,
         "w": _np(sd["final_conv.2.conv.weight"])[:, :, 0],
         "b": _np(sd["final_conv.2.conv.bias"]),
     }
+    if block_scan:
+        p = stack_sashimi_blocks(p, n_layers, pool, unet)
     return p

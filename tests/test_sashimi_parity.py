@@ -47,7 +47,7 @@ def test_sashimi_unconditional_parity(torch_ref):
 
     params = sashimi_from_torch(net.state_dict(), n_layers=n_layers,
                                 pool=[4, 4])
-    model = Sashimi(d_model=d_model, n_layers=n_layers, pool=(4, 4), L=L)
+    model = Sashimi(d_model=d_model, n_layers=n_layers, pool=(4, 4), L=L)  # block_scan default
     y_ours = np.asarray(model.apply({"params": params}, audio, steps))
     np.testing.assert_allclose(y_ours, y_ref, atol=1e-3, rtol=1e-2)
 
@@ -101,3 +101,33 @@ def test_sashimi_param_count_matches_reference(torch_ref):
                         jnp.zeros((1,), jnp.int32))
     n_ours = sum(p.size for p in jax.tree.leaves(params))
     assert n_ours == n_ref
+
+
+def test_block_scan_equivalent_to_unrolled():
+    """block_scan layout must be numerically identical to the unrolled one
+    given restacked parameters."""
+    import jax.numpy as jnp
+    from diffwave_sashimi_tpu.utils.torch_compat import stack_sashimi_blocks
+
+    L, n_layers = 256, 2
+    un = Sashimi(d_model=8, n_layers=n_layers, pool=(4, 4), L=L,
+                 block_scan=False)
+    params = un.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, L)),
+                     jnp.zeros((1,), jnp.int32))
+    audio = jax.random.normal(jax.random.PRNGKey(1), (2, 1, L))
+    steps = jnp.array([3, 9])
+    y_un = un.apply(params, audio, steps)
+
+    sc = Sashimi(d_model=8, n_layers=n_layers, pool=(4, 4), L=L,
+                 block_scan=True)
+    stacked = {"params": stack_sashimi_blocks(
+        jax.tree.map(np.asarray, params["params"]), n_layers, [4, 4])}
+    y_sc = sc.apply(stacked, audio, steps)
+    np.testing.assert_allclose(np.asarray(y_sc), np.asarray(y_un),
+                               atol=2e-5, rtol=1e-3)
+
+    # and with precomputed freq kernels
+    kf = sc.apply(stacked, L, True, method=Sashimi.compute_kernels)
+    y_k = sc.apply(stacked, audio, steps, None, kf)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_un),
+                               atol=2e-5, rtol=1e-3)
