@@ -15,6 +15,7 @@ step/s) are included in the same JSON object.
 """
 
 import json
+import signal
 import sys
 import time
 
@@ -57,23 +58,48 @@ def build(batch: int, d_model: int = 128, L: int = 16000, T: int = 200):
     return run, params, kernels
 
 
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(sig, frame):
+    raise _Timeout()
+
+
 def measure_generation(T: int = 200, L: int = 16000, sr: int = 16000):
     last_err = None
-    for batch in (16, 8, 4, 1):
+    for batch in (16, 8):  # B>=32 chains hang the device queue
         try:
+            # a hung batch (device fault that never surfaces) must not stall
+            # the whole bench: hard-timeout each attempt
+            signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(900)
+            print(f"[bench] building batch={batch}", file=sys.stderr,
+                  flush=True)
             run, params, kernels = build(batch, L=L, T=T)
             rng = jax.random.PRNGKey(1)
+            print(f"[bench] compiling sampler batch={batch}",
+                  file=sys.stderr, flush=True)
             out = run(params, kernels, rng)  # compile + warmup
             out.block_until_ready()
-            reps = 3
-            t0 = time.time()
+            print(f"[bench] measuring batch={batch}", file=sys.stderr,
+                  flush=True)
+            # block between reps: queueing multiple 200-step chains deadlocks
+            # the device queue on this backend
+            reps, times = 3, []
             for i in range(reps):
+                t0 = time.time()
                 out = run(params, kernels, jax.random.PRNGKey(2 + i))
-            out.block_until_ready()
-            dt = (time.time() - t0) / reps
+                out.block_until_ready()
+                times.append(time.time() - t0)
+            dt = min(times)
+            signal.alarm(0)
             audio_seconds = batch * L / sr
             return batch, audio_seconds / dt, dt
-        except Exception as e:  # OOM at this batch -> try smaller
+        except (_Timeout, Exception) as e:  # OOM/hang -> try smaller
+            signal.alarm(0)
+            print(f"[bench] batch={batch} failed: {type(e).__name__}",
+                  file=sys.stderr, flush=True)
             last_err = e
             continue
     raise RuntimeError(f"all batch sizes failed: {last_err}")
@@ -85,8 +111,9 @@ def measure_train_step(batch: int = 8, L: int = 16000):
     from diffwave_sashimi_tpu.models.sashimi import Sashimi
     from diffwave_sashimi_tpu.runtime.train import make_train_step
 
+    # remat: without it the B8 backward needs ~22 GB (> 16 GB HBM)
     model = Sashimi(d_model=128, n_layers=6, pool=(4, 4), expand=2, ff=2,
-                    L=L, dtype=jnp.bfloat16)
+                    L=L, dtype=jnp.bfloat16, remat=True)
     schedule = diffusion_schedule(T=200, beta_0=1e-4, beta_T=0.02)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 1, L)),
                                  jnp.zeros((1,), jnp.int32))
@@ -109,10 +136,15 @@ def measure_train_step(batch: int = 8, L: int = 16000):
 def main():
     t_start = time.time()
     batch, realtime, secs_per_batch = measure_generation()
-    try:
-        steps_per_sec = measure_train_step()
-    except Exception:
-        steps_per_sec = None
+    steps_per_sec = None
+    for tb in (8, 4, 2):
+        try:
+            steps_per_sec = measure_train_step(batch=tb)
+            train_batch = tb
+            break
+        except Exception as e:
+            print(f"train-step bench failed at B{tb}: "
+                  f"{type(e).__name__}", file=sys.stderr)
     result = {
         "metric": "sec of 16kHz audio generated /sec/chip at T=200 "
                   "(sashimi d128 SC09)",
@@ -121,8 +153,9 @@ def main():
         "vs_baseline": round(realtime / 20.0, 3),
         "batch": batch,
         "seconds_per_batch": round(secs_per_batch, 3),
-        "train_steps_per_sec_b8": (round(steps_per_sec, 3)
-                                   if steps_per_sec else None),
+        "train_steps_per_sec": (round(steps_per_sec, 3)
+                                if steps_per_sec else None),
+        "train_batch": (train_batch if steps_per_sec else None),
         "bench_wall_s": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
     }

@@ -188,8 +188,9 @@ class SSKernelNPLR(nn.Module):
 
         impl = self.cauchy
         if impl == "auto":
-            # fused Pallas kernel on TPU (bwd kernel is VMEM-bounded in L)
-            on_tpu = jax.default_backend() == "tpu"
+            # fused Pallas kernel on TPU (bwd kernel is VMEM-bounded in L);
+            # the axon PJRT plugin reports platform "axon" for TPU hardware
+            on_tpu = jax.default_backend() in ("tpu", "axon")
             impl = "pallas" if on_tpu and len(z) <= MAX_BWD_L else "xla"
         if impl == "pallas":
             r = cauchy_sym_pallas(v, z, wt)                # (1+r, c+r, H, L')

@@ -41,8 +41,10 @@ BM, BL = 8, 512
 
 
 def _interpret() -> bool:
-    """Run in interpreter mode off-TPU (CPU tests); compiled on TPU."""
-    return jax.default_backend() != "tpu"
+    """Run in interpreter mode off-TPU (CPU tests); compiled on TPU.
+
+    The axon PJRT plugin reports platform "axon" for real TPU hardware."""
+    return jax.default_backend() not in ("tpu", "axon")
 # Backward reduces over all of L in VMEM; above this, fall back to XLA.
 MAX_BWD_L = 32768
 

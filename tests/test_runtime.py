@@ -102,3 +102,28 @@ def test_generate_from_reference_torch_checkpoint(tmp_path, monkeypatch,
                    n_samples=1)
     assert out.shape == (1, 1, 512)
     assert np.isfinite(out).all()
+
+
+def test_sampling_pipelined_deterministic_and_finite():
+    from diffwave_sashimi_tpu.diffusion import (diffusion_schedule,
+                                                sampling_pipelined)
+    from diffwave_sashimi_tpu.models.wavenet import WaveNet
+
+    model = WaveNet(res_channels=8, skip_channels=8, num_res_layers=2,
+                    dilation_cycle=2)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 256)),
+                        jnp.zeros((1,), jnp.int32))
+    sched = diffusion_schedule(T=5, beta_0=1e-4, beta_T=0.02)
+
+    def apply_fn(p, x, t, mel=None):
+        return model.apply(p, x, t, mel)
+
+    out1 = sampling_pipelined(apply_fn, params, (2, 1, 256), sched,
+                              jax.random.PRNGKey(3))
+    out2 = sampling_pipelined(apply_fn, params, (2, 1, 256), sched,
+                              jax.random.PRNGKey(3))
+    out3 = sampling_pipelined(apply_fn, params, (2, 1, 256), sched,
+                              jax.random.PRNGKey(4))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert not np.array_equal(np.asarray(out1), np.asarray(out3))
+    assert np.isfinite(np.asarray(out1)).all()
