@@ -37,7 +37,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Forward tile sizes: M on sublanes, L on lanes.
-BM, BL = 8, 512
+# Defaults from the on-chip autotune sweep (ops/tune.py, cauchy_tune.json):
+# (32, 1024) is best/near-best on every S4 operating point (1.9-3.3x XLA).
+BM, BL = 32, 1024
 
 
 def _interpret() -> bool:
