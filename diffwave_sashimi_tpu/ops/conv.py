@@ -137,15 +137,17 @@ def conv1d_ncl(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
                        preferred_element_type=jnp.float32)
         return y.astype(x.dtype)
     pad = dilation * (k - 1) // 2
+    # no preferred_element_type: upcasting the output then downcasting makes
+    # the conv BACKWARD see mixed (bf16, f32) operands, which
+    # conv_general_dilated rejects; TPU convs accumulate in f32 regardless
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(stride,),
         padding=[(pad, pad)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
     )
-    return y.astype(x.dtype)
+    return y
 
 
 def swish(x: jnp.ndarray) -> jnp.ndarray:

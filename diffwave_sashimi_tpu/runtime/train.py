@@ -113,7 +113,11 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
     remat = bool((compute_cfg or {}).get("remat", False))
 
     if data_loader is None:
+        # multi-host: each process loads its shard (DistributedSampler
+        # semantics); single-host: one loader feeds all local devices
         data_loader = dataloader(dataset_cfg, batch_size=global_batch,
+                                 num_replicas=jax.process_count(),
+                                 replica_id=jax.process_index(),
                                  unconditional=model_cfg["unconditional"])
     print(f"Data loaded: {len(data_loader)} batches of {global_batch} "
           f"({n_dev} devices)", flush=True)
@@ -172,7 +176,14 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
         try:
             while n_iter < n_iters + 1:
                 epoch_loss, epoch_batches = 0.0, 0
-                for data in data_loader:
+                try:
+                    from tqdm import tqdm
+                    epoch_iter = tqdm(
+                        data_loader, desc=f"Epoch {n_iter // max(1, len(data_loader))}",
+                        leave=False)
+                except ImportError:
+                    epoch_iter = data_loader
+                for data in epoch_iter:
                     if unconditional:
                         audio = data[0] if isinstance(data, tuple) else data
                         mel = None
