@@ -81,18 +81,24 @@ def measure_generation(T: int = 200, L: int = 16000, sr: int = 16000):
             print(f"[bench] compiling sampler batch={batch}",
                   file=sys.stderr, flush=True)
             out = run(params, kernels, rng)  # compile + warmup
-            out.block_until_ready()
+            float(out.sum())  # force completion: block_until_ready does NOT
+                              # reliably wait on this backend; a D2H does
             print(f"[bench] measuring batch={batch}", file=sys.stderr,
                   flush=True)
-            # block between reps: queueing multiple 200-step chains deadlocks
-            # the device queue on this backend
-            reps, times = 3, []
-            for i in range(reps):
+
+            # slope timing: time(K runs + 1 D2H) for K=1 and K=3; the
+            # difference isolates per-run compute from the (noisy, up to
+            # hundreds of ms) device->host readback cost
+            def timed(K, seed0):
                 t0 = time.time()
-                out = run(params, kernels, jax.random.PRNGKey(2 + i))
-                out.block_until_ready()
-                times.append(time.time() - t0)
-            dt = min(times)
+                o = None
+                for i in range(K):
+                    o = run(params, kernels, jax.random.PRNGKey(seed0 + i))
+                float(o.sum())
+                return time.time() - t0
+            t1 = timed(1, 10)
+            t3 = timed(3, 20)
+            dt = max((t3 - t1) / 2, 1e-6)
             signal.alarm(0)
             audio_seconds = batch * L / sr
             return batch, audio_seconds / dt, dt
@@ -120,17 +126,23 @@ def measure_train_step(batch: int = 8, L: int = 16000):
     optimizer = optax.adam(2e-4)
     opt_state = optimizer.init(params)
     step = make_train_step(model, optimizer, schedule)
-    batch_x = jnp.zeros((batch, 1, L), jnp.float32)
+    batch_x = jax.random.normal(jax.random.PRNGKey(9), (batch, 1, L)) * 0.1
     params, opt_state, loss = step(params, opt_state, batch_x, None,
                                    jax.random.PRNGKey(1))
-    loss.block_until_ready()
-    reps = 5
-    t0 = time.time()
-    for i in range(reps):
-        params, opt_state, loss = step(params, opt_state, batch_x, None,
-                                       jax.random.PRNGKey(2 + i))
-    loss.block_until_ready()
-    return reps / (time.time() - t0)
+    float(loss)  # force completion (see note in measure_generation)
+
+    def timed(K, seed0):
+        nonlocal params, opt_state
+        t0 = time.time()
+        loss = None
+        for i in range(K):
+            params, opt_state, loss = step(params, opt_state, batch_x, None,
+                                           jax.random.PRNGKey(seed0 + i))
+        float(loss)
+        return time.time() - t0
+    t2 = timed(2, 30)
+    t6 = timed(6, 40)
+    return 4 / max(t6 - t2, 1e-6)
 
 
 def main():

@@ -39,6 +39,7 @@ from ..ops.cauchy_pallas import cauchy_sym_pallas, MAX_BWD_L
 from ..ops.vandermonde import log_vandermonde
 from ..ops.nplr import discretize, setup_C, extend_C
 from ..ops.conv import torch_uniform_init
+from ..ops import mxu_fft
 
 Dtype = Any
 
@@ -50,6 +51,24 @@ def _r2c(x: jnp.ndarray) -> jnp.ndarray:
 
 def _c2r(x: np.ndarray) -> np.ndarray:
     return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _rfft(x, n):
+    """MXU four-step FFT on TPU (XLA's FFT runs ~0.3 TFLOP/s on the VPU;
+    the matmul formulation is ~2 orders faster, see ops/mxu_fft.py)."""
+    if _on_tpu():
+        return mxu_fft.rfft_mxu(x, n)
+    return jnp.fft.rfft(x, n=n)
+
+
+def _irfft(X, n):
+    if _on_tpu():
+        return mxu_fft.irfft_mxu(X, n)
+    return jnp.fft.irfft(X, n=n)
 
 
 def _fft_size(min_n: int) -> int:
@@ -394,7 +413,7 @@ class S4(nn.Module):
             k0, k1 = k[:c], k[c:]
             k = jnp.pad(k0, ((0, 0), (0, 0), (0, L))) \
                 + jnp.pad(jnp.flip(k1, axis=-1), ((0, 0), (0, 0), (L, 0)))
-        return jnp.fft.rfft(k.astype(jnp.float32), n=_fft_size(L_kernel + L))
+        return _rfft(k.astype(jnp.float32), _fft_size(L_kernel + L))
 
     def __call__(self, u: jnp.ndarray, kernel: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
@@ -416,17 +435,16 @@ class S4(nn.Module):
                 k0, k1 = k[:c], k[c:]
                 k = jnp.pad(k0, ((0, 0), (0, 0), (0, L))) \
                     + jnp.pad(jnp.flip(k1, axis=-1), ((0, 0), (0, 0), (L, 0)))
-            k_f = jnp.fft.rfft(k.astype(jnp.float32),
-                               n=_fft_size(L_kernel + L))
+            k_f = _rfft(k.astype(jnp.float32), _fft_size(L_kernel + L))
 
         n = _fft_size(L_kernel + L)
         u32 = u.astype(jnp.float32)
-        u_f = jnp.fft.rfft(u32, n=n)                       # (B, H, n/2+1)
+        u_f = _rfft(u32, n)                                # (B, H, n/2+1)
         if k_f.shape[0] == 1:
             y_f = (u_f * k_f[0])[:, None]                  # (B, 1, H, n/2+1)
         else:
             y_f = jnp.einsum("bhl,chl->bchl", u_f, k_f)
-        y = jnp.fft.irfft(y_f, n=n)[..., :L]               # (B, c, H, L)
+        y = _irfft(y_f, n)[..., :L]                        # (B, c, H, L)
 
         y = y + jnp.einsum("bhl,ch->bchl", u32, self.D.astype(jnp.float32))
         y = y.reshape(y.shape[0], -1, L).astype(self.dtype)  # (B, c*H, L)

@@ -127,3 +127,22 @@ def test_sampling_pipelined_deterministic_and_finite():
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
     assert not np.array_equal(np.asarray(out1), np.asarray(out3))
     assert np.isfinite(np.asarray(out1)).all()
+
+
+def test_generate_rank_offsets_filenames(sc09_tiny, tmp_path, monkeypatch):
+    """Multi-host generation parity: rank r writes files offset by
+    n_samples*rank with rank-decorrelated noise (ref generate.py:84-86,189)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(overrides=SMALL + [f"dataset.data_path={sc09_tiny}"])
+    train(cfg.diffusion, cfg.model, cfg.dataset, None,
+          mesh_cfg=cfg.mesh, compute_cfg=cfg.compute,
+          **{k: v for k, v in dict(cfg.train).items() if k != "name"})
+
+    out0 = generate(cfg.diffusion, cfg.model, cfg.dataset, ckpt_iter="max",
+                    n_samples=1, rank=0)
+    out1 = generate(cfg.diffusion, cfg.model, cfg.dataset, ckpt_iter="max",
+                    n_samples=1, rank=1)
+    run = "wnet_h16_d2_T5_betaT0.02_uncond"
+    wavs = sorted(os.listdir(os.path.join("exp", run, "waveforms", "4")))
+    assert wavs == ["0k_0.wav", "0k_1.wav"]
+    assert not np.array_equal(out0, out1)  # decorrelated across ranks
