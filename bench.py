@@ -41,8 +41,9 @@ def build(batch: int, d_model: int = 128, L: int = 16000, T: int = 200):
                                  jnp.zeros((1,), jnp.int32))
     schedule = diffusion_schedule(T=T, beta_0=1e-4, beta_T=0.02)
 
+    mode = "fact" if jax.default_backend() in ("tpu", "axon") else True
     kernels = jax.jit(lambda p: model.apply(
-        p, L, True, method=Sashimi.compute_kernels))(params)
+        p, L, mode, method=Sashimi.compute_kernels))(params)
 
     # pipelined host-loop sampler: one jitted step dispatched T times
     # (device-side scan loops are pathologically slow on this backend)

@@ -40,6 +40,7 @@ from ..ops.vandermonde import log_vandermonde
 from ..ops.nplr import discretize, setup_C, extend_C
 from ..ops.conv import torch_uniform_init
 from ..ops import mxu_fft
+from ..ops.fftconv_pallas import fftconv_fused, factorize_kernel_freq, HB as _FUSED_HB
 
 Dtype = Any
 
@@ -397,6 +398,20 @@ class S4(nn.Module):
         L_kernel = L if not self.l_max else min(L, self.l_max)
         return self.kernel(L_kernel)
 
+    def compute_kernel_fact(self, L: int) -> jnp.ndarray:
+        """Factorized frequency kernel (2, H, N1, K2) f32 for the FUSED
+        Pallas convolution (ops/fftconv_pallas.py) — bidirectional combine
+        folded in, c must be 1."""
+        assert self.channels == 1, "fused conv path supports channels=1"
+        k = self.compute_kernel(L)
+        L_kernel = k.shape[-1]
+        if self.bidirectional:
+            k0, k1 = k[:1], k[1:]
+            k = jnp.pad(k0, ((0, 0), (0, 0), (0, L))) \
+                + jnp.pad(jnp.flip(k1, axis=-1), ((0, 0), (0, 0), (L, 0)))
+        n = _fft_size(L_kernel + L)
+        return factorize_kernel_freq(k[0], n)
+
     def compute_kernel_freq(self, L: int) -> jnp.ndarray:
         """Frequency-domain kernel: bidirectional-combined, padded, rfft'd.
 
@@ -424,6 +439,26 @@ class S4(nn.Module):
         :meth:`compute_kernel_freq` (complex) — dispatched on dtype.
         """
         L = u.shape[-1]
+        if kernel is not None and not jnp.iscomplexobj(kernel) \
+                and kernel.ndim == 4:
+            # factorized kernel -> fully fused Pallas FFT-convolution
+            L_kernel = L if not self.l_max else min(L, self.l_max)
+            n = _fft_size(L_kernel + L)
+            y = fftconv_fused(u.astype(jnp.float32), kernel, n, L)
+            y = y[:, None]                                 # (B, 1, H, L)
+            u32 = u.astype(jnp.float32)
+            y = y + jnp.einsum("bhl,ch->bchl", u32,
+                               self.D.astype(jnp.float32))
+            y = y.reshape(y.shape[0], -1, L).astype(self.dtype)
+            y = jax.nn.gelu(y, approximate=False)
+            if self.dropout > 0.0 and train:
+                keep = 1.0 - self.dropout
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, y.shape[:2] + (1,))
+                y = y * mask / keep
+            y = self.output_linear(y)
+            a, b = jnp.split(y, 2, axis=1)
+            return a * jax.nn.sigmoid(b)
         if kernel is not None and jnp.iscomplexobj(kernel):
             k_f = kernel                                   # (c, H, n/2+1)
             L_kernel = L if not self.l_max else min(L, self.l_max)

@@ -154,6 +154,9 @@ class DiffWaveBlock(nn.Module):
     def compute_kernel_freq(self, L: int) -> jnp.ndarray:
         return self.s4.compute_kernel_freq(L)
 
+    def compute_kernel_fact(self, L: int) -> jnp.ndarray:
+        return self.s4.compute_kernel_fact(L)
+
 
 class _ScanBlock(nn.Module):
     """Scan-compatible adapter around DiffWaveBlock.
@@ -378,8 +381,9 @@ class Sashimi(nn.Module):
         if self.block_scan:
             # raw vmap over each stage's stacked params (no flax lifting:
             # the bound scan modules own the params; we read them directly)
-            method = (DiffWaveBlock.compute_kernel_freq if freq
-                      else DiffWaveBlock.compute_kernel)
+            method = {False: DiffWaveBlock.compute_kernel,
+                      True: DiffWaveBlock.compute_kernel_freq,
+                      "fact": DiffWaveBlock.compute_kernel_fact}[freq]
             all_params = self.variables["params"]
             kernels: Dict[str, jnp.ndarray] = {}
             for name, H, Lt, Lg in self._scan_stage_info(audio_length):
@@ -393,8 +397,9 @@ class Sashimi(nn.Module):
             return kernels
 
         d_L, c_L, u_L = self._stage_lengths(audio_length)
-        get = (lambda m, L: m.compute_kernel_freq(L)) if freq \
-            else (lambda m, L: m.compute_kernel(L))
+        get = {False: (lambda m, L: m.compute_kernel(L)),
+               True: (lambda m, L: m.compute_kernel_freq(L)),
+               "fact": (lambda m, L: m.compute_kernel_fact(L))}[freq]
         kernels = {}
         for mod, L in zip(self.d_mods, d_L):
             if L is not None:

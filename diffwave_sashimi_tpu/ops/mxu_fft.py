@@ -152,6 +152,10 @@ def _irfft_consts(n: int):
     #   k = k1 + N1*k2 ; c = 1 for k==0 or k==n/2, else 2
     kk = i1[:, None] + N1 * k2[None, :]
     c = np.where((kk == 0) | (kk == n // 2), 1.0, 2.0) / n      # (N1, K2)
+    # entries with k > n/2 (k1 > 0 in the last k2 column) are above-Nyquist
+    # aliases: absent from the flat half-spectrum (zero-padded there) but
+    # PRESENT in the factorized representation — mask them out of the sum
+    c = np.where(kk <= n // 2, c, 0.0)
     # x[m] = sum_{k1,k2} c * Re( X[k1,k2] W_n^{m (k1 + N1 k2)} )
     # with m = m1*N2 + m2:
     #   W_n^{m k1} = W_n^{(m1 N2 + m2) k1} = W_{N1}^{m1 k1} * W_n^{m2 k1}
@@ -211,3 +215,28 @@ def irfft_mxu(X: jnp.ndarray, n: int) -> jnp.ndarray:
     x = jnp.einsum("...km,kn->...nm", Tr, E1r_, **kw) \
         - jnp.einsum("...km,kn->...nm", Ti, E1i_, **kw)
     return x.reshape(X.shape[:-1] + (n,))
+
+
+@partial(jax.jit, static_argnames=("n",))
+def rfft_mxu_factorized(x: jnp.ndarray, n: int):
+    """Forward transform kept in (k1, k2) coordinates (no flatten/trim).
+
+    Returns (Cr, Ci), each (..., N1, K2) f32 — the representation the fused
+    convolution kernel (ops/fftconv_pallas.py) multiplies in directly.
+    """
+    N1, N2, K2, D1r, D1i, twr, twi, D2r, D2i = _rfft_consts(n)
+    L = x.shape[-1]
+    if L < n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - L)])
+    xf = x.astype(jnp.float32).reshape(x.shape[:-1] + (N1, N2))
+    kw = dict(precision=jax.lax.Precision.HIGHEST,
+              preferred_element_type=jnp.float32)
+    Ar = jnp.einsum("...ab,ak->...kb", xf, D1r, **kw)
+    Ai = jnp.einsum("...ab,ak->...kb", xf, D1i, **kw)
+    Br = Ar * twr - Ai * twi
+    Bi = Ar * twi + Ai * twr
+    Cr = jnp.einsum("...kb,bc->...kc", Br, D2r, **kw) \
+        - jnp.einsum("...kb,bc->...kc", Bi, D2i, **kw)
+    Ci = jnp.einsum("...kb,bc->...kc", Br, D2i, **kw) \
+        + jnp.einsum("...kb,bc->...kc", Bi, D2r, **kw)
+    return Cr, Ci

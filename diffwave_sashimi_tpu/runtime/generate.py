@@ -43,8 +43,11 @@ def precompute_kernels(model, params, audio_length: int):
     device->host readback of every kernel at lowering).
     """
     if isinstance(model, Sashimi):
+        # factorized kernels feed the fused Pallas FFT-conv on TPU
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        mode = "fact" if (on_tpu and model.d_model % 8 == 0) else True
         return jax.jit(lambda p: model.apply(
-            p, audio_length, True, method=Sashimi.compute_kernels))(params)
+            p, audio_length, mode, method=Sashimi.compute_kernels))(params)
     return None
 
 

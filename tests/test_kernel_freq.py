@@ -31,3 +31,19 @@ def test_sashimi_freq_kernels_identical():
     kf = model.apply(params, L, True, method=Sashimi.compute_kernels)
     y1 = model.apply(params, audio, steps, None, kf)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
+
+def test_sashimi_fact_kernels_identical():
+    """Fused factorized-kernel conv path == plain path (interpret mode)."""
+    L = 256
+    model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), L=L)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, L)),
+                        jnp.zeros((1,), jnp.int32))
+    audio = jax.random.normal(jax.random.PRNGKey(1), (2, 1, L))
+    steps = jnp.array([5, 6])
+    y0 = model.apply(params, audio, steps)
+    kfact = model.apply(params, L, "fact", method=Sashimi.compute_kernels)
+    for v in kfact.values():
+        assert v.ndim == 5 and v.shape[1] == 2  # (n_layers, 2, H, N1, K2)
+    y1 = model.apply(params, audio, steps, None, kfact)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-4)
