@@ -28,6 +28,9 @@ from diffwave_sashimi_tpu.utils import enable_compile_cache
 enable_compile_cache()
 
 
+FAST_BETA_6 = [0.0001, 0.001, 0.01, 0.05, 0.2, 0.5]  # DiffWave fast schedule
+
+
 def build(batch: int, d_model: int = 128, L: int = 16000, T: int = 200):
     from diffwave_sashimi_tpu.diffusion import (diffusion_schedule, sampling_pipelined, make_sampling_step)
     from diffwave_sashimi_tpu.models.sashimi import Sashimi
@@ -39,7 +42,11 @@ def build(batch: int, d_model: int = 128, L: int = 16000, T: int = 200):
     # remote-compile backend); one compiled program instead
     params = jax.jit(model.init)(rng, jnp.zeros((1, 1, L), jnp.float32),
                                  jnp.zeros((1,), jnp.int32))
-    schedule = diffusion_schedule(T=T, beta_0=1e-4, beta_T=0.02)
+    if T == 6:
+        schedule = diffusion_schedule(T=200, beta_0=1e-4, beta_T=0.02,
+                                      beta=FAST_BETA_6, fast=True)
+    else:
+        schedule = diffusion_schedule(T=T, beta_0=1e-4, beta_T=0.02)
 
     mode = "fact" if jax.default_backend() in ("tpu", "axon") else True
     kernels = jax.jit(lambda p: model.apply(
@@ -149,6 +156,14 @@ def measure_train_step(batch: int = 8, L: int = 16000):
 def main():
     t_start = time.time()
     batch, realtime, secs_per_batch = measure_generation()
+    # DiffWave fast sampling: explicit 6-step beta schedule (the reference's
+    # fast=True + diffusion.beta override path, ref utils.py:133-135)
+    try:
+        _, realtime_fast, _ = measure_generation(T=6)
+    except Exception as e:
+        print(f"[bench] fast-schedule bench failed: {type(e).__name__}",
+              file=sys.stderr, flush=True)
+        realtime_fast = None
     steps_per_sec = None
     for tb in (8, 4, 2):
         try:
@@ -166,6 +181,8 @@ def main():
         "vs_baseline": round(realtime / 20.0, 3),
         "batch": batch,
         "seconds_per_batch": round(secs_per_batch, 3),
+        "fast_T6_x_realtime": (round(realtime_fast, 3)
+                               if realtime_fast else None),
         "train_steps_per_sec": (round(steps_per_sec, 3)
                                 if steps_per_sec else None),
         "train_batch": (train_batch if steps_per_sec else None),

@@ -40,6 +40,7 @@ from ..ops.vandermonde import log_vandermonde
 from ..ops.nplr import discretize, setup_C, extend_C
 from ..ops.conv import torch_uniform_init
 from ..ops import mxu_fft
+from ..ops import fftconv_pallas
 from ..ops.fftconv_pallas import fftconv_fused, factorize_kernel_freq, HB as _FUSED_HB
 
 Dtype = Any
@@ -444,7 +445,8 @@ class S4(nn.Module):
             # factorized kernel -> fully fused Pallas FFT-convolution
             L_kernel = L if not self.l_max else min(L, self.l_max)
             n = _fft_size(L_kernel + L)
-            y = fftconv_fused(u.astype(jnp.float32), kernel, n, L)
+            y = fftconv_fused(u.astype(jnp.float32), kernel, n, L,
+                              fftconv_pallas.FAST["enabled"])
             y = y[:, None]                                 # (B, 1, H, L)
             u32 = u.astype(jnp.float32)
             y = y + jnp.einsum("bhl,ch->bchl", u32,
