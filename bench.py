@@ -165,7 +165,7 @@ def main():
               file=sys.stderr, flush=True)
         realtime_fast = None
     steps_per_sec = None
-    for tb in (8, 4, 2):
+    for tb in (4, 2):  # B8 backward exceeds HBM even with remat + fused conv
         try:
             steps_per_sec = measure_train_step(batch=tb)
             train_batch = tb

@@ -37,10 +37,10 @@ from . import mxu_fft
 
 HB = 8  # channel rows per program
 
-# bf16 matmul operands inside the kernel (f32 accumulation): ~6x MXU rate
-# and half the in-kernel bytes. Selected per call via fftconv_fused(...,
-# fast=True); model-level knob is S4.conv_fast / compute.fft_fast.
-FAST = {"enabled": False}
+# Default True: bf16 MXU multiplies with f32 accumulation inside the kernel
+# (matches the bf16 activation policy of the fast path; conv rel err ~4e-3).
+# set_fast(False) requests strict f32 (Precision.HIGHEST, ~6x slower MXU).
+FAST = {"enabled": True}
 
 
 def set_fast(enabled: bool) -> None:
@@ -71,61 +71,48 @@ def _kernel(x_ref, kfr_ref, kfi_ref,
             d1rt_ref, d1it_ref, twr_ref, twi_ref, d2r_ref, d2i_ref,
             c_ref, e2r_ref, e2i_ref, twmr_ref, twmi_ref, e1rt_ref, e1it_ref,
             out_ref, *, fast: bool):
-    """All HB channel rows processed as SINGLE large matmuls per stage:
-    contractions that share a DFT factor across rows are reshaped so the MXU
-    sees (128, HB*256)-scale operands instead of HB small (128, 256) ones.
+    """Per-channel-row four-step DFT -> kernel multiply -> inverse, fully in
+    VMEM. (A row-batched variant using cross-row reshapes was no faster and
+    Mosaic rejects its shape casts at small stage sizes.)
 
-    NOTE: inside Pallas on TPU, f32 jnp.dot lowers to bf16 MXU
-    multiplication under default precision; ``fast=False`` requests
-    strict-f32 via Precision.HIGHEST (~6x slower MXU passes).
+    NOTE: inside Pallas on TPU, f32 jnp.dot lowers to bf16 MXU multiplies
+    under default precision; ``fast=False`` requests strict f32 via
+    Precision.HIGHEST (~6x slower MXU passes).
     """
     f32 = jnp.float32
     prec = (jax.lax.Precision.DEFAULT if fast
             else jax.lax.Precision.HIGHEST)
     mm = lambda a, b: jnp.dot(a, b, preferred_element_type=f32,
                               precision=prec)
-    D1rT, D1iT = d1rt_ref[:, :], d1it_ref[:, :]     # (k1, n1)
-    twr, twi = twr_ref[:, :], twi_ref[:, :]         # (k1, n2)
-    D2r, D2i = d2r_ref[:, :], d2i_ref[:, :]         # (n2, k2)
-    c = c_ref[:, :]                                 # (k1, k2)
-    E2r, E2i = e2r_ref[:, :], e2i_ref[:, :]         # (k2, m2)
-    twmr, twmi = twmr_ref[:, :], twmi_ref[:, :]     # (k1, m2)
-    E1rT, E1iT = e1rt_ref[:, :], e1it_ref[:, :]     # (m1, k1)
-    N1, N2 = D1rT.shape[0], twr.shape[1]
-    K2 = c.shape[1]
+    D1rT, D1iT = d1rt_ref[:, :], d1it_ref[:, :]
+    twr, twi = twr_ref[:, :], twi_ref[:, :]
+    D2r, D2i = d2r_ref[:, :], d2i_ref[:, :]
+    c = c_ref[:, :]
+    E2r, E2i = e2r_ref[:, :], e2i_ref[:, :]
+    twmr, twmi = twmr_ref[:, :], twmi_ref[:, :]
+    E1rT, E1iT = e1rt_ref[:, :], e1it_ref[:, :]
 
-    # (HB, N1, N2) -> (N1, HB*N2): rows side by side on the lane axis
-    x = jnp.swapaxes(x_ref[0], 0, 1).reshape(N1, HB * N2)
-    # forward stage 1: one (N1, N1) @ (N1, HB*N2) pair
-    Ar = mm(D1rT, x)
-    Ai = mm(D1iT, x)
-    twr_w = jnp.tile(twr, (1, HB))
-    twi_w = jnp.tile(twi, (1, HB))
-    Br = Ar * twr_w - Ai * twi_w
-    Bi = Ar * twi_w + Ai * twr_w
-    # forward stage 2: contract n2 per row -> (HB*N1, N2) @ (N2, K2)
-    def rows_first(t):  # (N1, HB*N2) -> (HB*N1, N2)
-        return jnp.swapaxes(t.reshape(N1, HB, N2), 0, 1).reshape(HB * N1, N2)
-    Cr = mm(rows_first(Br), D2r) - mm(rows_first(Bi), D2i)   # (HB*N1, K2)
-    Ci = mm(rows_first(Br), D2i) + mm(rows_first(Bi), D2r)
-    # kernel multiply + c-scale (per-row kernels)
-    kr = kfr_ref[:, :, :].reshape(HB * N1, K2)
-    ki = kfi_ref[:, :, :].reshape(HB * N1, K2)
-    cw = jnp.tile(c, (HB, 1))
-    Yr = (Cr * kr - Ci * ki) * cw
-    Yi = (Cr * ki + Ci * kr) * cw
-    # inverse stage 1: contract k2 -> (HB*N1, K2) @ (K2, N2)
-    Sr = mm(Yr, E2r) - mm(Yi, E2i)                           # (HB*N1, N2)
-    Si = mm(Yr, E2i) + mm(Yi, E2r)
-    twmr_w = jnp.tile(twmr, (HB, 1))
-    twmi_w = jnp.tile(twmi, (HB, 1))
-    Tr = Sr * twmr_w - Si * twmi_w
-    Ti = Sr * twmi_w + Si * twmr_w
-    # inverse stage 2: contract k1 -> (N1, N1) @ (N1, HB*N2)
-    def cols_first(t):  # (HB*N1, N2) -> (N1, HB*N2)
-        return jnp.swapaxes(t.reshape(HB, N1, N2), 0, 1).reshape(N1, HB * N2)
-    o = mm(E1rT, cols_first(Tr)) - mm(E1iT, cols_first(Ti))  # (m1, HB*N2)
-    out_ref[0] = jnp.swapaxes(o.reshape(N1, HB, N2), 0, 1)
+    for h in range(HB):                     # static unroll over channel rows
+        x = x_ref[0, h]                     # (N1, N2)
+        # forward stage 1 (real input)
+        Ar = mm(D1rT, x)
+        Ai = mm(D1iT, x)
+        Br = Ar * twr - Ai * twi
+        Bi = Ar * twi + Ai * twr
+        # forward stage 2 -> spectrum in (k1, k2)
+        Cr = mm(Br, D2r) - mm(Bi, D2i)
+        Ci = mm(Br, D2i) + mm(Bi, D2r)
+        # pointwise kernel multiply + inverse c-scale
+        kr, ki = kfr_ref[h], kfi_ref[h]     # (N1, K2)
+        Yr = (Cr * kr - Ci * ki) * c
+        Yi = (Cr * ki + Ci * kr) * c
+        # inverse stage 1: contract k2
+        Sr = mm(Yr, E2r) - mm(Yi, E2i)
+        Si = mm(Yr, E2i) + mm(Yi, E2r)
+        Tr = Sr * twmr - Si * twmi
+        Ti = Sr * twmi + Si * twmr
+        # inverse stage 2: contract k1, real part
+        out_ref[0, h] = mm(E1rT, Tr) - mm(E1iT, Ti)
 
 
 def _fftconv_impl(u: jnp.ndarray, kf: jnp.ndarray, n: int, L_out: int,
