@@ -26,7 +26,7 @@ Stored complex parameters use the torch ``view_as_real`` convention
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,7 @@ from ..ops.nplr import discretize, setup_C, extend_C
 from ..ops.conv import torch_uniform_init
 from ..ops import mxu_fft
 from ..ops import fftconv_pallas
-from ..ops.fftconv_pallas import fftconv_fused, factorize_kernel_freq, HB as _FUSED_HB
+from ..ops.fftconv_pallas import fftconv_fused, factorize_kernel_freq
 
 Dtype = Any
 

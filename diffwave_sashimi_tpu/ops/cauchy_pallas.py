@@ -27,9 +27,6 @@ unrolled in-register.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

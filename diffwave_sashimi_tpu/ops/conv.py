@@ -25,7 +25,7 @@ the activation dtype (bf16 on the fast path).
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

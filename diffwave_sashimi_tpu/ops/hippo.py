@@ -18,8 +18,7 @@ Returned shapes (half the true state size N/2 kept, conjugate pairs implied):
 
 from __future__ import annotations
 
-import math
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -26,7 +26,6 @@ the full spectrum via conjugate symmetry inside the matmul algebra.
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache, partial
 from typing import Tuple
 

@@ -13,10 +13,7 @@ program — the mesh just gets bigger.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

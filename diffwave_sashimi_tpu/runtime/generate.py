@@ -20,14 +20,14 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config
-from ..diffusion import (schedule_from_cfg, sampling, sampling_pipelined, make_sampling_step)
+from ..diffusion import (schedule_from_cfg, sampling_pipelined,
+                         make_sampling_step)
 from ..models import construct_model
 from ..models.sashimi import Sashimi
 from ..utils.exp import local_directory

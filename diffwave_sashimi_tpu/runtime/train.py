@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import Config
 from ..diffusion import schedule_from_cfg, training_loss
 from ..models import construct_model
 from ..parallel.mesh import mesh_from_cfg, shard_batch, replicated
@@ -172,7 +171,6 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
                                wandb_cfg, run_config)
         n_iter = start_iter
         t_start = time.time()
-        recent = []
         try:
             while n_iter < n_iters + 1:
                 epoch_loss, epoch_batches = 0.0, 0

@@ -146,3 +146,22 @@ def test_generate_rank_offsets_filenames(sc09_tiny, tmp_path, monkeypatch):
     wavs = sorted(os.listdir(os.path.join("exp", run, "waveforms", "4")))
     assert wavs == ["0k_0.wav", "0k_1.wav"]
     assert not np.array_equal(out0, out1)  # decorrelated across ranks
+
+
+def test_generate_fast_beta_override(sc09_tiny, tmp_path, monkeypatch):
+    """Fast inference: an explicit diffusion.beta list overrides T at
+    generation time only (ref utils.py:133-135 fast=True semantics), while
+    the run name keeps the training T."""
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(overrides=SMALL + [f"dataset.data_path={sc09_tiny}"])
+    train(cfg.diffusion, cfg.model, cfg.dataset, None,
+          mesh_cfg=cfg.mesh, compute_cfg=cfg.compute,
+          **{k: v for k, v in dict(cfg.train).items() if k != "name"})
+
+    fast_cfg = load_config(overrides=SMALL + [
+        f"dataset.data_path={sc09_tiny}",
+        "diffusion.beta=[0.0001,0.001,0.01]"])
+    out = generate(fast_cfg.diffusion, fast_cfg.model, fast_cfg.dataset,
+                   ckpt_iter="max", n_samples=1)
+    assert out.shape == (1, 1, 512)
+    assert np.isfinite(out).all()
