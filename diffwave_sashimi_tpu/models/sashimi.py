@@ -428,6 +428,14 @@ class Sashimi(nn.Module):
         embed = swish(self.fc_t2(embed))
 
         if self.block_scan:
+            if kernels is None and not self.is_initializing() \
+                    and jax.default_backend() in ("tpu", "axon") \
+                    and self.d_model % 8 == 0:
+                # training-path fast conv: compute factorized kernels once
+                # per step and run the FORWARD conv through the fused Pallas
+                # kernel; gradients flow through compute_kernels (cauchy,
+                # Woodbury, irfft) and the conv's exact unfused custom_vjp
+                kernels = self.compute_kernels(audio.shape[-1], "fact")
             kget = (lambda name: None) if kernels is None else kernels.get
             pool_skips, stage_skips = [], []
             for si, dp in enumerate(self.d_pools):

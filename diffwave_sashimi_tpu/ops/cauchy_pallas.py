@@ -37,6 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 # Defaults from the on-chip autotune sweep (ops/tune.py, cauchy_tune.json):
 # (32, 1024) is best/near-best on every S4 operating point (1.9-3.3x XLA).
 BM, BL = 32, 1024
+# Backward holds FULL-L rows in VMEM (reduction over L per tile): a narrow
+# tile keeps the scoped VMEM stack under the 16MB limit at L'~8k.
+BM_BWD = 8
 
 
 def _interpret() -> bool:
@@ -181,22 +184,22 @@ def _cauchy_quad_bwd(res, g):
     if L > MAX_BWD_L:
         # VMEM-bounded fallback: differentiate the XLA formulation
         raise NotImplementedError  # handled by wrapper choosing XLA path
-    a_p = _pad_to(a, 0, BM)
-    b_p = _pad_to(b, 0, BM)
-    c_p = _pad_to(c, 0, BM)
-    d_p = _pad_to(d, 0, BM, value=1.0)
+    a_p = _pad_to(a, 0, BM_BWD)
+    b_p = _pad_to(b, 0, BM_BWD)
+    c_p = _pad_to(c, 0, BM_BWD)
+    d_p = _pad_to(d, 0, BM_BWD, value=1.0)
     # pad L so lanes align; padded g is 0 so reductions are unaffected
     zre_p = _pad_to(zre[None, :], 1, 128, value=1.0)
     zim_p = _pad_to(zim[None, :], 1, 128)
-    gre_p = _pad_to(_pad_to(gre, 0, BM), 1, 128)
-    gim_p = _pad_to(_pad_to(gim, 0, BM), 1, 128)
+    gre_p = _pad_to(_pad_to(gre, 0, BM_BWD), 1, 128)
+    gim_p = _pad_to(_pad_to(gim, 0, BM_BWD), 1, 128)
     Mp, Lp = gre_p.shape
 
-    grid = (Mp // BM,)
-    coeff_spec = pl.BlockSpec((BM, N), lambda i: (i, 0),
+    grid = (Mp // BM_BWD,)
+    coeff_spec = pl.BlockSpec((BM_BWD, N), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
     z_spec = pl.BlockSpec((1, Lp), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((BM, Lp), lambda i: (i, 0),
+    g_spec = pl.BlockSpec((BM_BWD, Lp), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         _bwd_kernel,

@@ -184,8 +184,17 @@ def _fwd(u, kf, n, L_out, fast):
 
 def _bwd(n, L_out, fast, res, g):
     u, kf = res
-    _, vjp = jax.vjp(lambda uu, kk: _unfused(uu, kk, n, L_out), u, kf)
-    return vjp(g)
+    # d/du: adjoint of circular conv with k == conv with time-reversed k,
+    # whose spectrum is conj(K) -> the SAME fused kernel with kfi negated.
+    # (valid because the op is called with L_out == len(u), as the S4 layer
+    # does; the general-slice adjoint would need an extra mask)
+    assert u.shape[-1] == L_out, (u.shape, L_out)
+    kf_conj = kf * jnp.array([1.0, -1.0], kf.dtype).reshape(2, 1, 1, 1)
+    du = _fftconv_impl(g, kf_conj, n, L_out, fast)
+    # d/dkf through the unfused formulation (small output, batch-contracted)
+    _, vjp_k = jax.vjp(lambda kk: _unfused(u, kk, n, L_out), kf)
+    dkf, = vjp_k(g)
+    return du, dkf
 
 
 fftconv_fused.defvjp(_fwd, _bwd)
