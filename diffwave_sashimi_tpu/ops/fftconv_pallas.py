@@ -36,8 +36,9 @@ from . import mxu_fft
 HB = 8  # channel rows per program
 
 # Default True: bf16 MXU multiplies with f32 accumulation inside the kernel
-# (matches the bf16 activation policy of the fast path; conv rel err ~4e-3).
-# set_fast(False) requests strict f32 (Precision.HIGHEST, ~6x slower MXU).
+# (matches the bf16 activation policy of the fast path; conv rel err ~4e-3;
+# end-to-end sampler matches a CPU f32 reference to 1.7e-4, see tests and
+# CLAUDE.md). set_fast(False) = strict f32 (Precision.HIGHEST, ~6x slower).
 FAST = {"enabled": True}
 
 

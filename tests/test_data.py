@@ -201,3 +201,26 @@ def test_griffin_lim_reduces_spectral_error():
     m = min(mag.shape[-1], mag_rec.shape[-1])
     rel = np.linalg.norm(mag_rec[..., :m] - mag[..., :m]) / np.linalg.norm(mag)
     assert rel < 0.35  # phase-blind reconstruction gets close in magnitude
+
+
+def test_audio_metrics():
+    from diffwave_sashimi_tpu.utils.audio_metrics import (compare,
+                                                          compare_files)
+    rng = np.random.RandomState(0)
+    sr, L = 16000, 8000
+    a = (0.4 * np.sin(2 * np.pi * 440 * np.arange(L) / sr)).astype(np.float32)
+    m_same = compare(a, a.copy(), sr)
+    assert m_same["waveform_mse"] == 0.0
+    assert m_same["snr_db"] == float("inf")
+    assert m_same["log_mel_l2"] < 1e-6
+
+    noisy = a + 0.01 * rng.randn(L).astype(np.float32)
+    m_noisy = compare(a, noisy, sr)
+    assert 20 < m_noisy["snr_db"] < 40
+    assert m_noisy["log_mel_l2"] > m_same["log_mel_l2"]
+    assert m_noisy["spectral_convergence"] > 0
+
+    very_noisy = a + 0.2 * rng.randn(L).astype(np.float32)
+    m_vn = compare(a, very_noisy, sr)
+    assert m_vn["snr_db"] < m_noisy["snr_db"]
+    assert m_vn["log_mel_l2"] > m_noisy["log_mel_l2"]

@@ -138,3 +138,23 @@ def test_s4d_diag_kernel_runs():
     y = mod.apply(params, jax.random.normal(jax.random.PRNGKey(1), (2, H, L)))
     assert y.shape == (2, H, L)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_kernel_doubling_beyond_trained_length(torch_ref, ref_s4_factory):
+    """L > l_max: the functional C~ doubling (ops/nplr.extend_C) must match
+    the reference's in-place buffer-doubling (_setup_C double_length mode)."""
+    torch = torch_ref.torch
+    H, N, L = 4, 8, 64
+    layer = ref_s4_factory(H=H, N=N, L=L)
+
+    # export weights BEFORE the 2L request: the reference's doubling mutates
+    # its C buffer in place (exactly the statefulness we replaced)
+    sd = {("x." + k): v.clone() for k, v in layer.state_dict().items()}
+
+    with torch.no_grad():
+        k_ref, _ = layer.kernel(L=2 * L, rate=1.0)
+    k_ref = k_ref.numpy()  # (c=2, H, 2L)
+    ours_params = _s4_from_torch(sd, "x")
+    mod = SSKernelNPLR(H=H, N=N, l_max=L, channels=2)
+    k_ours = np.asarray(mod.apply({"params": ours_params["kernel"]}, 2 * L))
+    np.testing.assert_allclose(k_ours, k_ref, atol=5e-4, rtol=1e-2)
