@@ -165,3 +165,17 @@ def test_generate_fast_beta_override(sc09_tiny, tmp_path, monkeypatch):
                    ckpt_iter="max", n_samples=1)
     assert out.shape == (1, 1, 512)
     assert np.isfinite(out).all()
+
+
+def test_generate_with_checkpoint_smoothing(sc09_tiny, tmp_path, monkeypatch):
+    """ckpt_smooth averages checkpoints in (min, max] before sampling
+    (reference's experimental smooth_ckpt, generate.py:105-115)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(overrides=SMALL + [f"dataset.data_path={sc09_tiny}"])
+    train(cfg.diffusion, cfg.model, cfg.dataset, None,
+          mesh_cfg=cfg.mesh, compute_cfg=cfg.compute,
+          **{k: v for k, v in dict(cfg.train).items() if k != "name"})
+    out = generate(cfg.diffusion, cfg.model, cfg.dataset, ckpt_iter="max",
+                   n_samples=1, ckpt_smooth=0)
+    assert out.shape == (1, 1, 512)
+    assert np.isfinite(out).all()
