@@ -74,3 +74,13 @@ def find_max_epoch(path: str) -> int:
             except ValueError:
                 continue
     return epoch
+
+
+def flatten(v):
+    """Flatten a list of lists/tuples (ref utils.py:7-12)."""
+    return [x for y in v for x in y]
+
+
+def rescale(x):
+    """Rescale an array to [0, 1] (ref utils.py:15-20)."""
+    return (x - x.min()) / (x.max() - x.min())
