@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""On-chip validation: numerics of every custom compute path vs oracles.
+
+Run on the real TPU (the pytest suite runs on CPU by design; this script is
+the hardware-side complement). Checks, each against an independent oracle:
+
+  1. MXU four-step rfft/irfft vs numpy FFT
+  2. Pallas symmetric-Cauchy kernel (compiled) vs the XLA formulation
+  3. Fused FFT-convolution kernel vs numpy conv theorem
+  4. A full S4 forward vs CPU-computed reference values
+
+Exits nonzero on any failure; prints one line per check.
+"""
+
+import sys
+
+import numpy as np
+
+from diffwave_sashimi_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+FAILURES = []
+
+
+def dev_rel_err(out_dev, ref_np):
+    """Relative max-error computed ON DEVICE; only a real f32 scalar does
+    the device->host trip, and complex references are shipped as separate
+    real/imag planes (complex H2D AND D2H are UNIMPLEMENTED on axon)."""
+    if np.iscomplexobj(ref_np):
+        rr = jnp.asarray(np.ascontiguousarray(ref_np.real), jnp.float32)
+        ri = jnp.asarray(np.ascontiguousarray(ref_np.imag), jnp.float32)
+        diff = jnp.sqrt((jnp.real(out_dev) - rr) ** 2
+                        + (jnp.imag(out_dev) - ri) ** 2)
+        scale = jnp.max(jnp.sqrt(rr ** 2 + ri ** 2))
+    else:
+        ref = jnp.asarray(np.asarray(ref_np, np.float32))
+        diff = jnp.abs(out_dev.astype(jnp.float32) - ref)
+        scale = jnp.max(jnp.abs(ref))
+    return float(jnp.max(diff) / (scale + 1e-12))
+
+
+def to_dev_complex(a_np):
+    """Upload complex data as two f32 planes (complex H2D unsupported)."""
+    return jax.lax.complex(
+        jnp.asarray(np.ascontiguousarray(a_np.real), jnp.float32),
+        jnp.asarray(np.ascontiguousarray(a_np.imag), jnp.float32))
+
+
+def check(name, err, tol):
+    ok = err < tol
+    print(f"{'OK ' if ok else 'FAIL'} {name}: err={err:.2e} (tol {tol:.0e})",
+          flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def main():
+    print(f"backend: {jax.default_backend()}, device: {jax.devices()[0]}",
+          flush=True)
+    rng = np.random.RandomState(0)
+
+    # 1. MXU FFT
+    from diffwave_sashimi_tpu.ops.mxu_fft import rfft_mxu, irfft_mxu
+    n, L = 32768, 16000
+    x = rng.randn(4, 32, L).astype(np.float32)
+    ref = np.fft.rfft(x, n=n).astype(np.complex64)
+    out = rfft_mxu(jnp.asarray(x), n)
+    check("rfft_mxu n=32768", dev_rel_err(out, ref), 1e-4)
+    xi = irfft_mxu(to_dev_complex(ref), n)
+    xi_ref = np.fft.irfft(ref, n=n).astype(np.float32)
+    check("irfft_mxu n=32768", dev_rel_err(xi, xi_ref), 1e-4)
+
+    # 2. Pallas Cauchy (compiled) vs an f64 HOST oracle. (Comparing against
+    # the XLA matmul formulation is misleading on TPU: its complex einsums
+    # run as bf16 MXU matmuls under default precision, ~2.5e-3 error.)
+    from diffwave_sashimi_tpu.ops.cauchy_pallas import cauchy_sym_pallas
+    H, N, Lz = 32, 32, 2001
+    v_np = (rng.randn(2, 3, H, N) + 1j * rng.randn(2, 3, H, N)).astype(np.complex64)
+    w_np = (-np.abs(rng.randn(H, N)) + 1j * rng.randn(H, N)).astype(np.complex64)
+    z_np = (1j * rng.randn(Lz)).astype(np.complex64)
+    vv = np.concatenate([v_np, v_np.conj()], -1).astype(np.complex128)
+    ww = np.concatenate([w_np, w_np.conj()], -1).astype(np.complex128)
+    oracle = (vv[..., None] / (z_np.astype(np.complex128) - ww[..., None])
+              ).sum(-2).astype(np.complex64)
+    r_p = jax.jit(cauchy_sym_pallas)(to_dev_complex(v_np),
+                                     to_dev_complex(z_np),
+                                     to_dev_complex(w_np))
+    check("pallas cauchy vs f64 oracle", dev_rel_err(r_p, oracle), 1e-4)
+
+    # 3. Fused conv vs numpy conv theorem
+    from diffwave_sashimi_tpu.ops.fftconv_pallas import (fftconv_fused,
+                                                         factorize_kernel_freq)
+    B, Hc, Lc, nc = 4, 32, 4000, 8192
+    u = rng.randn(B, Hc, Lc).astype(np.float32)
+    k = (rng.randn(Hc, Lc) * np.exp(-np.arange(Lc) / 500)).astype(np.float32)
+    kf = factorize_kernel_freq(jnp.asarray(k), nc)
+    y = jax.jit(lambda uu: fftconv_fused(uu, kf, nc, Lc, True))(
+        jnp.asarray(u))
+    Y = np.fft.rfft(u, n=nc) * np.fft.rfft(k, n=nc)
+    y_ref = np.fft.irfft(Y, n=nc)[..., :Lc].astype(np.float32)
+    check("fused conv (bf16 MXU) vs numpy", dev_rel_err(y, y_ref), 2e-2)
+
+    # 4. S4 forward vs CPU-computed reference (the CPU instance pins
+    # cauchy='xla': the 'auto' dispatch keys off the GLOBAL default backend,
+    # which is the TPU even when arrays live on the host CPU device)
+    from diffwave_sashimi_tpu.models.s4 import S4
+    mod_cpu = S4(d_model=16, d_state=16, l_max=512, bidirectional=True,
+                 cauchy="xla")
+    mod_tpu = S4(d_model=16, d_state=16, l_max=512, bidirectional=True)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = mod_cpu.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 512)))
+        u_s4 = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 512))
+        y_cpu = np.asarray(mod_cpu.apply(params, u_s4))
+    y_tpu = jax.jit(mod_tpu.apply)(jax.device_put(params),
+                                   jax.device_put(u_s4))
+    check("S4 forward TPU vs CPU", dev_rel_err(y_tpu, y_cpu), 1e-2)
+
+    if FAILURES:
+        print(f"FAILED: {FAILURES}", flush=True)
+        sys.exit(1)
+    print("all on-chip checks passed", flush=True)
+
+
+if __name__ == "__main__":
+    main()
