@@ -78,9 +78,14 @@ def cauchy_sym(v: jnp.ndarray, z: jnp.ndarray, w: jnp.ndarray,
             + d[..., None]                             # (H, N, chunk) complex
         G0 = 1.0 / denom
         G1 = z_c[None, None, :] * G0
-        # Contract over n: (..., H, N) x (H, N, chunk) -> (..., H, chunk)
-        r = jnp.einsum("...hn,hnl->...hl", a.astype(G1.dtype), G1) \
-            + jnp.einsum("...hn,hnl->...hl", b.astype(G0.dtype), G0)
+        # Contract over n: (..., H, N) x (H, N, chunk) -> (..., H, chunk).
+        # HIGHEST precision: on TPU, default-precision complex einsums run
+        # as bf16 MXU matmuls (~2.5e-3 error); this path is the accuracy
+        # fallback, so keep it strict f32.
+        r = jnp.einsum("...hn,hnl->...hl", a.astype(G1.dtype), G1,
+                       precision=jax.lax.Precision.HIGHEST) \
+            + jnp.einsum("...hn,hnl->...hl", b.astype(G0.dtype), G0,
+                         precision=jax.lax.Precision.HIGHEST)
         return r
 
     if L <= chunk:

@@ -182,6 +182,10 @@ def main(argv=None):
     from ..utils import enable_compile_cache
     enable_compile_cache()
     cfg = load_config(overrides=(argv if argv is not None else sys.argv[1:]))
+    # strict-f32 runs also run the fused conv kernel at strict f32
+    from ..ops import fftconv_pallas
+    if cfg.get_path("compute.precision", "bf16") in ("f32", "float32"):
+        fftconv_pallas.set_fast(False)
     print(cfg.to_yaml())
     gen_cfg = dict(cfg.generate)
     generate(cfg.diffusion, cfg.model, cfg.dataset,

@@ -120,6 +120,12 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
                                  unconditional=model_cfg["unconditional"])
     print(f"Data loaded: {len(data_loader)} batches of {global_batch} "
           f"({n_dev} devices)", flush=True)
+    if len(data_loader) == 0:
+        raise ValueError(
+            f"dataset yielded 0 batches of {global_batch} — check "
+            f"data_path={dataset_cfg.get('data_path')!r} (the SC09 loader "
+            f"keeps only '*_nohash_*.wav' files, matching the reference's "
+            f"SpeechCommands walker) and that it holds >= one batch of clips")
 
     model = construct_model(model_cfg, precision=precision, remat=remat)
     unconditional = bool(model_cfg["unconditional"])
@@ -253,6 +259,10 @@ def main(argv=None):
     from ..utils import enable_compile_cache
     enable_compile_cache()
     cfg = load_config(overrides=(argv if argv is not None else sys.argv[1:]))
+    # strict-f32 runs also run the fused conv kernel at strict f32
+    from ..ops import fftconv_pallas
+    if cfg.get_path("compute.precision", "bf16") in ("f32", "float32"):
+        fftconv_pallas.set_fast(False)
     print(cfg.to_yaml())
     os.makedirs("exp/", mode=0o775, exist_ok=True)
     train_cfg = dict(cfg.train)

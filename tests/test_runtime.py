@@ -179,3 +179,16 @@ def test_generate_with_checkpoint_smoothing(sc09_tiny, tmp_path, monkeypatch):
                    n_samples=1, ckpt_smooth=0)
     assert out.shape == (1, 1, 512)
     assert np.isfinite(out).all()
+
+
+def test_train_empty_dataset_errors(tmp_path, monkeypatch):
+    """An empty/mismatched data dir must fail fast, not spin on 0 batches
+    (the SC09 walker keeps only '*_nohash_*.wav' files)."""
+    monkeypatch.chdir(tmp_path)
+    empty = tmp_path / "nodata"
+    empty.mkdir()
+    cfg = load_config(overrides=SMALL + [f"dataset.data_path={empty}"])
+    with pytest.raises(ValueError, match="0 batches"):
+        train(cfg.diffusion, cfg.model, cfg.dataset, None,
+              mesh_cfg=cfg.mesh, compute_cfg=cfg.compute,
+              **{k: v for k, v in dict(cfg.train).items() if k != "name"})
