@@ -81,6 +81,24 @@ def _fft_size(min_n: int) -> int:
     return 1 << (min_n - 1).bit_length()
 
 
+def _combine_bidirectional(k: jnp.ndarray, c: int, n: int) -> jnp.ndarray:
+    """Fold the (2c, H, L_k) forward/backward kernels into one length-n
+    circular kernel (c, H, n).
+
+    The reference combines as pad(k0, (0, L)) + pad(flip(k1), (L, 0)) and
+    FFTs at EXACTLY n = L_kernel + L (ref models/s4.py:1391-1394), so the
+    anticausal taps k1[j] land at position n - j, i.e. circular lag -j.  We
+    FFT at the next power of two, so the anticausal block must sit at the
+    END of the n-buffer — placing it at [L, L + L_k) like the reference
+    buffer layout would shift every anticausal tap by (n - L - L_k) samples.
+    """
+    L_k = k.shape[-1]
+    assert n >= 2 * L_k, (n, L_k)
+    k0, k1 = k[:c], k[c:]
+    return jnp.pad(k0, ((0, 0), (0, 0), (0, n - L_k))) \
+        + jnp.pad(jnp.flip(k1, axis=-1), ((0, 0), (0, 0), (n - L_k, 0)))
+
+
 class SSKernelNPLR(nn.Module):
     """K_L(dA, dB, C~) for A = diag(w) - P P^* (full S4).
 
@@ -406,11 +424,9 @@ class S4(nn.Module):
         assert self.channels == 1, "fused conv path supports channels=1"
         k = self.compute_kernel(L)
         L_kernel = k.shape[-1]
-        if self.bidirectional:
-            k0, k1 = k[:1], k[1:]
-            k = jnp.pad(k0, ((0, 0), (0, 0), (0, L))) \
-                + jnp.pad(jnp.flip(k1, axis=-1), ((0, 0), (0, 0), (L, 0)))
         n = _fft_size(L_kernel + L)
+        if self.bidirectional:
+            k = _combine_bidirectional(k, 1, n)
         return factorize_kernel_freq(k[0], n)
 
     def compute_kernel_freq(self, L: int) -> jnp.ndarray:
@@ -424,12 +440,10 @@ class S4(nn.Module):
         """
         k = self.compute_kernel(L)
         L_kernel = k.shape[-1]
+        n = _fft_size(L_kernel + L)
         if self.bidirectional:
-            c = self.channels
-            k0, k1 = k[:c], k[c:]
-            k = jnp.pad(k0, ((0, 0), (0, 0), (0, L))) \
-                + jnp.pad(jnp.flip(k1, axis=-1), ((0, 0), (0, 0), (L, 0)))
-        return _rfft(k.astype(jnp.float32), _fft_size(L_kernel + L))
+            k = _combine_bidirectional(k, self.channels, n)
+        return _rfft(k.astype(jnp.float32), n)
 
     def __call__(self, u: jnp.ndarray, kernel: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
@@ -468,10 +482,8 @@ class S4(nn.Module):
             k = self.compute_kernel(L) if kernel is None else kernel
             L_kernel = k.shape[-1]
             if self.bidirectional:
-                c = self.channels
-                k0, k1 = k[:c], k[c:]
-                k = jnp.pad(k0, ((0, 0), (0, 0), (0, L))) \
-                    + jnp.pad(jnp.flip(k1, axis=-1), ((0, 0), (0, 0), (L, 0)))
+                k = _combine_bidirectional(k, self.channels,
+                                           _fft_size(L_kernel + L))
             k_f = _rfft(k.astype(jnp.float32), _fft_size(L_kernel + L))
 
         n = _fft_size(L_kernel + L)

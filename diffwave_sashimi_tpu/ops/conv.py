@@ -79,7 +79,7 @@ class WNConv1d(nn.Module):
         if self.use_bias:
             b = self.param("b", torch_uniform_init(fan_in),
                            (self.out_channels,), self.param_dtype)
-            y = y + b.astype(self.dtype)[None, :, None]
+            y = y + b.astype(self.dtype).reshape((1, -1) + (1,) * (x.ndim - 2))
         return y
 
 
@@ -97,9 +97,11 @@ class ZeroConv1d(nn.Module):
                        (self.out_channels, self.in_channels), self.param_dtype)
         b = self.param("b", nn.initializers.zeros,
                        (self.out_channels,), self.param_dtype)
-        y = jnp.einsum("bcl,oc->bol", x.astype(self.dtype), w.astype(self.dtype),
+        y = jnp.einsum("bc...,oc->bo...", x.astype(self.dtype),
+                       w.astype(self.dtype),
                        preferred_element_type=jnp.float32)
-        return (y + b.astype(jnp.float32)[None, :, None]).astype(self.dtype)
+        b = b.astype(jnp.float32).reshape((1, -1) + (1,) * (x.ndim - 2))
+        return (y + b).astype(self.dtype)
 
 
 class TorchLinear(nn.Module):
@@ -133,7 +135,8 @@ def conv1d_ncl(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
     """
     k = w.shape[-1]
     if k == 1 and stride == 1:
-        y = jnp.einsum("bcl,oc->bol", x, w[:, :, 0],
+        # pure channel matmul; works for any trailing layout (B, C, ...)
+        y = jnp.einsum("bc...,oc->bo...", x, w[:, :, 0],
                        preferred_element_type=jnp.float32)
         return y.astype(x.dtype)
     pad = dilation * (k - 1) // 2

@@ -78,6 +78,37 @@ def test_sashimi_conditional_parity(torch_ref):
     np.testing.assert_allclose(y_ours, y_ref, atol=1e-3, rtol=1e-2)
 
 
+def test_sashimi_nonpow2_length_parity(torch_ref):
+    """Regression: at L where next_pow2(L + L_kernel) > L + L_kernel, the
+    bidirectional anticausal taps must sit at the END of the FFT buffer.
+    (Placing them at [L, L+L_k) like the reference's exact-size buffer
+    silently shifts every anticausal tap — invisible at pow2 L like 256,
+    live at the production L=16000.)"""
+    torch = torch_ref.torch
+    d_model, n_layers, L = 8, 1, 320  # L+L_k = 640, fft size 1024
+    net = _make_ref(torch_ref, d_model=d_model, n_layers=n_layers, L=L)
+
+    rng = np.random.RandomState(2)
+    audio = rng.randn(2, 1, L).astype(np.float32)
+    steps = np.array([11, 60])
+    with torch.no_grad():
+        y_ref = net((torch.from_numpy(audio),
+                     torch.from_numpy(steps.astype(np.float32)).view(2, 1)))
+    y_ref = y_ref.numpy()
+
+    params = sashimi_from_torch(net.state_dict(), n_layers=n_layers,
+                                pool=[4, 4])
+    model = Sashimi(d_model=d_model, n_layers=n_layers, pool=(4, 4), L=L)
+    y_ours = np.asarray(model.apply({"params": params}, audio, steps))
+    np.testing.assert_allclose(y_ours, y_ref, atol=1e-3, rtol=1e-2)
+
+    # and through the precomputed-kernel (sampling) path
+    kf = model.apply({"params": params}, L, True,
+                     method=Sashimi.compute_kernels)
+    y_k = np.asarray(model.apply({"params": params}, audio, steps, None, kf))
+    np.testing.assert_allclose(y_k, y_ref, atol=1e-3, rtol=1e-2)
+
+
 def test_sashimi_precomputed_kernels_match():
     L = 256
     model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), L=L)
