@@ -37,10 +37,12 @@ from ..ops import hippo
 from ..ops.cauchy import cauchy_sym
 from ..ops.cauchy_pallas import cauchy_sym_pallas, MAX_BWD_L
 from ..ops.vandermonde import log_vandermonde
-from ..ops.nplr import discretize, setup_C, extend_C
+from ..ops.nplr import (discretize, setup_C, extend_C, power_contract,
+                        _conj as nplr_conj)
 from ..ops.conv import torch_uniform_init
 from ..ops import mxu_fft
 from ..ops import fftconv_pallas
+from ..ops import fftconv2
 from ..ops.fftconv_pallas import fftconv_fused, factorize_kernel_freq
 
 Dtype = Any
@@ -185,12 +187,18 @@ class SSKernelNPLR(nn.Module):
         reps[axis] = self.H // S
         return jnp.tile(x, reps)
 
-    def __call__(self, L: int, rate: float = 1.0) -> jnp.ndarray:
+    def __call__(self, L: int, rate: float = 1.0,
+                 state: Optional[jnp.ndarray] = None):
         """Compute the length-L convolution kernel, shape (channels, H, L).
 
-        Mirrors ref SSKernelNPLR.forward (models/s4.py:674-822) with
-        state=None.  ``L`` may exceed ``l_max``; the C~ doubling is then done
-        functionally on the fly.
+        Mirrors ref SSKernelNPLR.forward (models/s4.py:674-822).  ``L`` may
+        exceed ``l_max``; the C~ doubling is then done functionally on the
+        fly.  ``rate`` resamples the kernel: the continuous support stays
+        ``l_max`` while the discrete grid is ``l_max / rate`` (ref
+        models/s4.py:689-702).  With ``state`` (B, H, N2) complex, also
+        returns ``k_state`` (B, channels, H, L) — the initial state's
+        contribution to the output (ref models/s4.py:727-744, 799-808) — as
+        a (k, k_state) tuple.
         """
         internal_L = self.l_max if (self.l_max and self.l_max > 0) else L
         C = _r2c(self.C)
@@ -204,10 +212,24 @@ class SSKernelNPLR(nn.Module):
         P = self._broadcast(_r2c(self.P), 1)               # (r, H, N2)
         Q = jnp.conj(P)
 
-        if L > internal_L:
+        continuous_L = int(round(rate * L))
+        if continuous_L > internal_L:
             dA, _ = discretize(w, P, B[0], dt)
-            C, internal_L = extend_C(C, dA, internal_L, L)
+            C, internal_L = extend_C(C, dA, internal_L, continuous_L)
         discrete_L = int(round(internal_L / rate))
+
+        n_state = 0
+        if state is not None:
+            # "Un-bilinear" the state into the same type as B
+            # (ref models/s4.py:727-744): s' = state/dt + (A^* applied)/2.
+            s = nplr_conj(state)                           # (B, H, 2*N2)
+            sA = s * nplr_conj(w) \
+                - jnp.einsum("bhm,rhm,rhn->bhn", s,
+                             nplr_conj(Q), nplr_conj(P))
+            s = s / dt[:, None] + sA / 2
+            s = s[..., : self.N // 2]                      # back to half
+            B = jnp.concatenate([s, B], axis=0)            # (B+1, H, N2)
+            n_state = state.shape[0]
 
         # FFT nodes as HOST numpy constants: c64 pow accumulation matches
         # the reference roundoff at the Nyquist node (where the exact
@@ -260,8 +282,30 @@ class SSKernelNPLR(nn.Module):
             k_f = r00 - jnp.einsum("ijhl,jkhl,klhl->ilhl", r01, r11, r10)
 
         k_f = k_f * 2 / (1 + omega)                        # bilinear fix
-        k = jnp.fft.irfft(k_f, n=discrete_L)               # (1, c, H, L)
-        return k[0, :, :, :L]
+        k = jnp.fft.irfft(k_f, n=discrete_L)[..., :L]      # (B+1, c, H, L)
+        if n_state:
+            return k[-1], k[:-1]
+        return k[0]
+
+    def forward_state(self, u: jnp.ndarray, state: jnp.ndarray
+                      ) -> jnp.ndarray:
+        """Forward the recurrent state through a length-L chunk:
+        x_L = dA^L x_0 + sum_i dA^i dB u_{L-1-i} (ref SSKernel.forward_state,
+        models/s4.py:1252-1273).
+
+        u: (..., H, L) real; state: (..., H, N2) complex (half pairs).
+        Returns the same state shape.
+        """
+        dt = jnp.exp(self.log_dt)
+        w = self._broadcast(self._w(), 0)
+        B = self._broadcast(_r2c(self.B), 1)
+        P = self._broadcast(_r2c(self.P), 1)
+        dA, dB = discretize(w, P, B[0], dt)                # (H,2N,2N),(H,2N)
+        s = nplr_conj(state)                               # (..., H, 2N)
+        v = dB[:, :, None] * jnp.flip(u, -1)[..., None, :].astype(dA.dtype)
+        AL, v = power_contract(u.shape[-1], dA, v)         # (..., H, 2N)
+        next_state = jnp.einsum("hmn,...hn->...hm", AL, s) + v
+        return next_state[..., : state.shape[-1]]
 
 
 class SSKernelDiag(nn.Module):
@@ -317,7 +361,10 @@ class SSKernelDiag(nn.Module):
 
         self.C = self.param("C", C_init, (self.channels, H, N2, 2))
 
-    def __call__(self, L: int, rate: float = 1.0) -> jnp.ndarray:
+    def __call__(self, L: int, rate: float = 1.0,
+                 state: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # ref SSKernelDiag.forward: `assert state is None, "Not implemented"`
+        assert state is None, "state is not supported in diag mode"
         H = self.H
         dt = jnp.exp(self.log_dt) * rate                   # (H,)
         C = _r2c(self.C)                                   # (c, H, N2)
@@ -357,18 +404,47 @@ class TorchConv1x1(nn.Module):
                        (self.out_channels, self.in_channels), self.param_dtype)
         b = self.param("b", torch_uniform_init(self.in_channels),
                        (self.out_channels,), self.param_dtype)
-        y = jnp.einsum("bcl,oc->bol", x.astype(self.dtype),
+        y = jnp.einsum("bc...,oc->bo...", x.astype(self.dtype),
                        w.astype(self.dtype), preferred_element_type=jnp.float32)
-        return (y + b.astype(jnp.float32)[None, :, None]).astype(self.dtype)
+        b = b.astype(jnp.float32).reshape((1, -1) + (1,) * (x.ndim - 2))
+        return (y + b).astype(self.dtype)
+
+
+def _act_fn(name: Optional[str]):
+    """Activation registry (ref ``Activation``, models/s4.py:134-160)."""
+    if name in (None, "id", "identity", "linear"):
+        return lambda x: x
+    if name == "tanh":
+        return jnp.tanh
+    if name == "relu":
+        return jax.nn.relu
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name in ("swish", "silu"):
+        return jax.nn.silu
+    if name == "sigmoid":
+        return jax.nn.sigmoid
+    raise NotImplementedError(f"activation {name!r} not implemented")
 
 
 class S4(nn.Module):
-    """S4 layer: SSM global convolution + D skip + GELU + GLU output mix.
+    """S4 layer: SSM global convolution + D skip + activation + output mix.
 
-    Forward parity with ref S4.forward (models/s4.py:1376-1437), transposed
-    layout (B, H, L).  ``kernel=None`` computes the conv kernel from
-    parameters; passing a precomputed kernel (from :meth:`compute_kernel`)
-    skips that work — the sampling loop hoists it out of the T-step scan.
+    Forward parity with ref S4.forward (models/s4.py:1376-1437) including
+    the position-wise option surface of the reference constructor
+    (models/s4.py:1284-1300): ``activation`` between SSM and output,
+    ``postact`` inside the output linear (GLU doubles its width),
+    ``hyper_act`` (multiplicative gating with doubled channels), ``linear``
+    (drop all pointwise parts), ``shift`` (experimental flipped-causal
+    conv), and ``transposed`` ((B, H, L) vs (B, L, H) activations).
+
+    ``kernel=None`` computes the conv kernel from parameters; passing a
+    precomputed kernel (from :meth:`compute_kernel` /
+    :meth:`compute_kernel_freq` / :meth:`compute_kernel_fact` /
+    :meth:`compute_kernel_v2`) skips that work — the sampling loop hoists
+    it out of the T-step scan.  ``rate`` resamples the kernel (ref :1388);
+    ``state`` runs with an initial SSM state and returns
+    ``(y, next_state)`` (NPLR mode only, like the reference).
     """
 
     d_model: int
@@ -383,14 +459,25 @@ class S4(nn.Module):
     dt_min: float = 0.001
     dt_max: float = 0.1
     dropout: float = 0.0
+    activation: Optional[str] = "gelu"   # between SSM and output linear
+    postact: Optional[str] = "glu"       # inside the output linear
+    hyper_act: Optional[str] = None      # multiplicative gating
+    transposed: bool = True              # (B, H, L) if True else (B, L, H)
+    shift: bool = False                  # experimental (ref :1396-1402)
+    linear: bool = False                 # drop all pointwise components
     deterministic_init: bool = False
     cauchy: str = "auto"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
+    @property
+    def _c_eff(self) -> int:
+        """Channels after hyper doubling (D / conv-output channels)."""
+        return self.channels * (2 if self.hyper_act is not None else 1)
+
     def setup(self):
         H = self.d_model
-        c_kernel = self.channels * (2 if self.bidirectional else 1)
+        c_kernel = self._c_eff * (2 if self.bidirectional else 1)
         if self.mode == "nplr":
             self.kernel = SSKernelNPLR(
                 H=H, N=self.d_state, l_max=self.l_max, channels=c_kernel,
@@ -407,10 +494,20 @@ class S4(nn.Module):
         else:
             raise NotImplementedError(self.mode)
         self.D = self.param("D", nn.initializers.normal(stddev=1.0),
-                            (self.channels, H), self.param_dtype)
-        self.output_linear = TorchConv1x1(
-            H * self.channels, 2 * H, dtype=self.dtype,
-            param_dtype=self.param_dtype)
+                            (self._c_eff, H), self.param_dtype)
+        if not self.linear:
+            d_out = 2 * H if self.postact == "glu" else H
+            self.output_linear = TorchConv1x1(
+                H * self.channels, d_out, dtype=self.dtype,
+                param_dtype=self.param_dtype)
+
+    def _defaults_only(self) -> bool:
+        """The fused conv paths bake in the DiffWave epilogue (GELU + GLU,
+        transposed, channels=1); exotic constructor options fall back to
+        the standard path."""
+        return (self.channels == 1 and self.activation == "gelu"
+                and self.postact == "glu" and self.hyper_act is None
+                and self.transposed and not self.shift and not self.linear)
 
     def compute_kernel(self, L: int) -> jnp.ndarray:
         """(c_kernel, H, L_kernel) with L_kernel = min(L, l_max) (ref :1388)."""
@@ -421,13 +518,29 @@ class S4(nn.Module):
         """Factorized frequency kernel (2, H, N1, K2) f32 for the FUSED
         Pallas convolution (ops/fftconv_pallas.py) — bidirectional combine
         folded in, c must be 1."""
-        assert self.channels == 1, "fused conv path supports channels=1"
+        assert self._defaults_only(), "fused conv path: default epilogue only"
         k = self.compute_kernel(L)
         L_kernel = k.shape[-1]
         n = _fft_size(L_kernel + L)
         if self.bidirectional:
             k = _combine_bidirectional(k, 1, n)
         return factorize_kernel_freq(k[0], n)
+
+    def v2_layout(self, L: int) -> fftconv2.Layout:
+        """Compact layout for the v2 fused conv at generation length L."""
+        L_kernel = L if not self.l_max else min(L, self.l_max)
+        return fftconv2.choose_layout(L, _fft_size(L_kernel + L),
+                                      self.d_model)
+
+    def compute_kernel_v2(self, L: int):
+        """(kfr, kfi) c-folded spectrum tiles for the v2 layout-native
+        fused convolution (ops/fftconv2.py); bidirectional combine folded."""
+        assert self._defaults_only(), "fused conv path: default epilogue only"
+        lay = self.v2_layout(L)
+        k = self.compute_kernel(L)
+        if self.bidirectional:
+            k = _combine_bidirectional(k, 1, lay.n)
+        return fftconv2.kernel_spectrum(k[0], lay)
 
     def compute_kernel_freq(self, L: int) -> jnp.ndarray:
         """Frequency-domain kernel: bidirectional-combined, padded, rfft'd.
@@ -445,18 +558,73 @@ class S4(nn.Module):
             k = _combine_bidirectional(k, self.channels, n)
         return _rfft(k.astype(jnp.float32), n)
 
-    def __call__(self, u: jnp.ndarray, kernel: Optional[jnp.ndarray] = None,
-                 train: bool = False) -> jnp.ndarray:
-        """u: (B, H, L) -> (B, H, L).
+    def _postact(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Output linear + postact (ref LinearActivation, models/s4.py:
+        163-177): GLU doubles the linear width and gates over channels."""
+        y = self.output_linear(y)
+        if self.postact == "glu":
+            a, b = jnp.split(y, 2, axis=1)
+            return a * jax.nn.sigmoid(b)                   # GLU(dim=-2)
+        return _act_fn(self.postact)(y)
+
+    def _dropout_nd(self, y: jnp.ndarray, train: bool) -> jnp.ndarray:
+        if self.dropout > 0.0 and train:
+            # DropoutNd: mask tied across the sequence length (ref :179-199)
+            keep = 1.0 - self.dropout
+            mask = jax.random.bernoulli(
+                self.make_rng("dropout"), keep,
+                y.shape[:2] + (1,) * (y.ndim - 2))
+            y = y * mask / keep
+        return y
+
+    def __call__(self, u: jnp.ndarray, kernel=None, train: bool = False,
+                 rate: float = 1.0, state: Optional[jnp.ndarray] = None):
+        """u: (B, H, L) -> (B, H, L) (or (B, L, H) with transposed=False).
 
         ``kernel`` may be a time-domain kernel from :meth:`compute_kernel`
-        (real) or a precomputed frequency-domain kernel from
-        :meth:`compute_kernel_freq` (complex) — dispatched on dtype.
+        (real, 3-dim), a frequency-domain kernel from
+        :meth:`compute_kernel_freq` (complex), a factorized kernel from
+        :meth:`compute_kernel_fact` (real, 4-dim -> v1 fused Pallas conv),
+        or a (kfr, kfi) pair from :meth:`compute_kernel_v2` with ``u`` in
+        compact (B, H, S, Rc) layout -> v2 layout-native fused conv.
+
+        With ``state`` (an initial SSM state, (B, H, N/2) complex), returns
+        ``(y, next_state)`` like the reference (models/s4.py:1414-1420);
+        otherwise returns ``y`` alone.
         """
+        # ---- v2 compact-layout fused path (kernel = (kfr, kfi) pair) ----
+        if isinstance(kernel, (tuple, list)):
+            assert u.ndim == 4 and state is None and rate == 1.0
+            kfr, kfi = kernel
+            lay = self.v2_layout(self.l_max)
+            assert u.shape[2:] == (lay.S, lay.Rc), (u.shape, lay)
+            fast = fftconv_pallas.FAST["enabled"]
+            if not train:
+                # conv + D-skip + exact GELU fused in-kernel
+                y = fftconv2.fftconv2_gelu_d(
+                    u, kfr, kfi, self.D[0].astype(jnp.float32), lay, fast)
+            else:
+                y = fftconv2.fftconv2(u, kfr, kfi, lay, fast)
+                y = y + (self.D[0].astype(self.dtype)[None, :, None, None]
+                         * u)
+                y = jax.nn.gelu(y, approximate=False)
+                y = self._dropout_nd(y, train)
+            return self._postact(y.astype(self.dtype))
+
+        if not self.transposed:
+            u = jnp.swapaxes(u, -1, -2)
         L = u.shape[-1]
+
+        next_state = None
+        k_state = None
+        if state is not None:
+            assert not self.bidirectional, \
+                "Bidirectional not supported with state forwarding"
+            assert kernel is None, "state requires in-layer kernel compute"
+
+        # ---- v1 fused Pallas path (factorized 4-dim real kernel) ----
         if kernel is not None and not jnp.iscomplexobj(kernel) \
-                and kernel.ndim == 4:
-            # factorized kernel -> fully fused Pallas FFT-convolution
+                and getattr(kernel, "ndim", 0) == 4:
             L_kernel = L if not self.l_max else min(L, self.l_max)
             n = _fft_size(L_kernel + L)
             y = fftconv_fused(u.astype(jnp.float32), kernel, n, L,
@@ -467,44 +635,80 @@ class S4(nn.Module):
                                self.D.astype(jnp.float32))
             y = y.reshape(y.shape[0], -1, L).astype(self.dtype)
             y = jax.nn.gelu(y, approximate=False)
-            if self.dropout > 0.0 and train:
-                keep = 1.0 - self.dropout
-                mask = jax.random.bernoulli(
-                    self.make_rng("dropout"), keep, y.shape[:2] + (1,))
-                y = y * mask / keep
-            y = self.output_linear(y)
-            a, b = jnp.split(y, 2, axis=1)
-            return a * jax.nn.sigmoid(b)
+            y = self._dropout_nd(y, train)
+            return self._postact(y)
+
+        # ---- standard path (full option surface) ----
         if kernel is not None and jnp.iscomplexobj(kernel):
             k_f = kernel                                   # (c, H, n/2+1)
             L_kernel = L if not self.l_max else min(L, self.l_max)
+            k = None
         else:
-            k = self.compute_kernel(L) if kernel is None else kernel
+            # ref :1388: L_kernel = min(L, round(self.L / rate))
+            L_kernel = L if not self.l_max \
+                else min(L, int(round(self.l_max / rate)))
+            if kernel is None:
+                if state is not None:
+                    k, k_state_k = self.kernel(L_kernel, rate=rate,
+                                               state=state)
+                else:
+                    k = self.kernel(L_kernel, rate=rate)
+            else:
+                k = kernel
             L_kernel = k.shape[-1]
-            if self.bidirectional:
-                k = _combine_bidirectional(k, self.channels,
-                                           _fft_size(L_kernel + L))
-            k_f = _rfft(k.astype(jnp.float32), _fft_size(L_kernel + L))
+            k_f = None
 
-        n = _fft_size(L_kernel + L)
         u32 = u.astype(jnp.float32)
-        u_f = _rfft(u32, n)                                # (B, H, n/2+1)
-        if k_f.shape[0] == 1:
-            y_f = (u_f * k_f[0])[:, None]                  # (B, 1, H, n/2+1)
-        else:
+        if self.shift and k is not None:
+            # experimental shifted conv (ref models/s4.py:1396-1402),
+            # implemented literally: rfft at 2L of left-padded flips,
+            # irfft truncated to L_kernel + L bins, tail flipped back.
+            # Only well-formed when L_kernel == L (as in the reference).
+            assert not self.bidirectional, "shift + bidirectional unsupported"
+            assert L_kernel == L, "shift requires L_kernel == L"
+            n2 = 2 * L
+            pad = ((0, 0),) * (k.ndim - 1) + ((L, 0),)
+            k_f = jnp.fft.rfft(
+                jnp.pad(jnp.flip(k, -1).astype(jnp.float32), pad), n=n2)
+            u_f = jnp.fft.rfft(jnp.pad(jnp.flip(u32, -1), pad), n=n2)
             y_f = jnp.einsum("bhl,chl->bchl", u_f, k_f)
-        y = _irfft(y_f, n)[..., :L]                        # (B, c, H, L)
+            m = L_kernel + L
+            y = jnp.fft.irfft(y_f[..., : m // 2 + 1], n=m)[..., L:]
+            y = jnp.flip(y, -1)
+        else:
+            if k_f is None:
+                if self.bidirectional:
+                    k = _combine_bidirectional(k, self._c_eff,
+                                               _fft_size(L_kernel + L))
+                k_f = _rfft(k.astype(jnp.float32), _fft_size(L_kernel + L))
+            n = _fft_size(L_kernel + L)
+            u_f = _rfft(u32, n)                            # (B, H, n/2+1)
+            if k_f.shape[0] == 1:
+                y_f = (u_f * k_f[0])[:, None]              # (B, 1, H, ...)
+            else:
+                y_f = jnp.einsum("bhl,chl->bchl", u_f, k_f)
+            y = _irfft(y_f, n)[..., :L]                    # (B, c, H, L)
 
         y = y + jnp.einsum("bhl,ch->bchl", u32, self.D.astype(jnp.float32))
+
+        if state is not None:
+            y = y + k_state_k.astype(y.dtype)              # (B, c, H, L)
+            next_state = self.kernel.forward_state(u32, state)
+
+        if self.hyper_act is not None:
+            # y (B, 2c, H, L) -> gate * value (ref :1423-1425)
+            y2 = y.reshape(y.shape[0], 2, self.channels, *y.shape[2:])
+            y = _act_fn(self.hyper_act)(y2[:, 1]) * y2[:, 0]
+
         y = y.reshape(y.shape[0], -1, L).astype(self.dtype)  # (B, c*H, L)
 
-        y = jax.nn.gelu(y, approximate=False)
-        if self.dropout > 0.0 and train:
-            # DropoutNd: mask tied across the sequence length (ref :179-199)
-            keep = 1.0 - self.dropout
-            mask = jax.random.bernoulli(
-                self.make_rng("dropout"), keep, y.shape[:2] + (1,))
-            y = y * mask / keep
-        y = self.output_linear(y)                          # (B, 2H, L)
-        a, b = jnp.split(y, 2, axis=1)
-        return a * jax.nn.sigmoid(b)                       # GLU(dim=-2)
+        if not self.linear:
+            y = _act_fn(self.activation)(y)
+            y = self._dropout_nd(y, train)
+            y = self._postact(y)
+
+        if not self.transposed:
+            y = jnp.swapaxes(y, -1, -2)
+        if state is not None:
+            return y, next_state
+        return y

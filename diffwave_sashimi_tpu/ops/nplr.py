@@ -99,6 +99,43 @@ def matrix_power(L: int, A: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def power_contract(L: int, A: jnp.ndarray, v: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compute (A^L, sum_i A^i v[..., i]) by reverse divide-and-conquer.
+
+    Mirrors the reference ``power`` (models/s4.py:206-246): O(log L) matrix
+    squarings plus O(L) batched matvecs in log depth — the building block of
+    ``forward_state`` (state forwarding through a length-L chunk).
+
+    A: (..., N, N); v: (..., N, L).  Static L.
+    """
+    I = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+    powers = [A]
+    l_rem, l = L, 1
+    while True:
+        if l_rem % 2 == 1:
+            I = powers[-1] @ I
+        l_rem //= 2
+        if l_rem == 0:
+            break
+        l *= 2
+        powers.append(powers[-1] @ powers[-1])
+
+    # fold the non-power-of-two tail: v[..., l:] gets an extra A^l
+    k = v.shape[-1] - l
+    if k > 0:
+        v_tail = jnp.einsum("...mn,...nl->...ml", powers[-1], v[..., l:])
+        v = v[..., :l]
+        v = v.at[..., :k].add(v_tail)
+    powers.pop()
+    while v.shape[-1] > 1:
+        half = v.shape[-1] // 2
+        v = v.reshape(v.shape[:-1] + (2, half))
+        v = v[..., 0, :] + jnp.einsum("...mn,...nl->...ml",
+                                      powers.pop(), v[..., 1, :])
+    return I, v[..., 0]
+
+
 def setup_C(C: jnp.ndarray, dA: jnp.ndarray, L: int) -> jnp.ndarray:
     """Train-length truncation: C~ = C - (dA^L)^T-applied C (half-stored).
 

@@ -87,7 +87,7 @@ def _s4_from_torch(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
     keep the same convention.
     """
     kp = prefix + ".kernel.kernel"  # S4.kernel (SSKernel) .kernel (SSKernelNPLR)
-    return {
+    out = {
         "D": _np(sd[prefix + ".D"]),
         "kernel": {
             "C": _np(sd[kp + ".C"]),
@@ -97,18 +97,25 @@ def _s4_from_torch(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
             "w_imag": _np(sd[kp + ".w_imag"]),
             "log_dt": _np(sd[kp + ".log_dt"]),
         },
-        # LinearActivation wraps the conv in a Sequential when an activation
-        # is attached (ref models/s4.py:166-177) -> key 'output_linear.0.*'
-        "output_linear": {
-            "w": _np(sd.get(prefix + ".output_linear.weight",
-                            sd.get(prefix + ".output_linear.0.weight")))[:, :, 0],
-            "b": _np(sd.get(prefix + ".output_linear.bias",
-                            sd.get(prefix + ".output_linear.0.bias"))),
-        },
         # NOTE: the internal kernel length self.L / C-tilde state is a torch
         # buffer ('kernel.kernel.L'); callers must pass trained_length to the
         # model so kernel doubling matches (see models/s4.py).
     }
+    # LinearActivation wraps the conv in a Sequential when an activation
+    # is attached (ref models/s4.py:166-177) -> key 'output_linear.0.*'.
+    # With linear=True the reference has no output transform at all.
+    w = sd.get(prefix + ".output_linear.weight",
+               sd.get(prefix + ".output_linear.0.weight"))
+    if w is not None:
+        w = _np(w)
+        if w.ndim == 3:   # transposed=True: TransposedLinear (O, I, 1)
+            w = w[:, :, 0]
+        out["output_linear"] = {
+            "w": w,
+            "b": _np(sd.get(prefix + ".output_linear.bias",
+                            sd.get(prefix + ".output_linear.0.bias"))),
+        }
+    return out
 
 
 def _tln(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:

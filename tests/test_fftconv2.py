@@ -29,14 +29,14 @@ def test_conv2_matches_direct(L, n, B, H):
 
     y_ref = _direct(u, k, n, L)
 
-    kfr, kfi, knyq = f2.kernel_spectrum(jnp.asarray(k), lay)
+    kfr, kfi = f2.kernel_spectrum(jnp.asarray(k), lay)
     uc = f2.to_compact(jnp.asarray(u), lay)
-    yc = f2.fftconv2(uc, kfr, kfi, knyq, lay, False)
+    yc = f2.fftconv2(uc, kfr, kfi, lay, False)
     y = np.asarray(f2.from_compact(yc, lay, L))
     np.testing.assert_allclose(y, y_ref, atol=2e-3, rtol=1e-3)
 
     # the pure-XLA reference path agrees too
-    yc2 = f2.conv2_ref(uc, kfr, kfi, knyq, lay)
+    yc2 = f2.conv2_ref(uc, kfr, kfi, lay)
     np.testing.assert_allclose(np.asarray(f2.from_compact(yc2, lay, L)),
                                y_ref, atol=2e-3, rtol=1e-3)
 
@@ -45,7 +45,7 @@ def test_conv2_compact_roundtrip():
     lay = f2.choose_layout(1000, 2048, 8)
     x = jnp.arange(2 * 8 * 1000, dtype=jnp.float32).reshape(2, 8, 1000)
     xc = f2.to_compact(x, lay)
-    assert xc.shape == (2, 8, lay.S, lay.Rc)
+    assert xc.shape == (2, lay.S, 8, lay.Rc)
     np.testing.assert_array_equal(np.asarray(f2.from_compact(xc, lay, 1000)),
                                   np.asarray(x))
 
@@ -56,17 +56,17 @@ def test_conv2_grads_match_ref():
     rng = np.random.RandomState(1)
     u = rng.randn(B, H, L).astype(np.float32)
     k = rng.randn(H, n).astype(np.float32) * 0.3
-    kfr, kfi, knyq = f2.kernel_spectrum(jnp.asarray(k), lay)
+    kfr, kfi = f2.kernel_spectrum(jnp.asarray(k), lay)
     uc = f2.to_compact(jnp.asarray(u), lay)
 
-    def loss_fast(uu, a, b, c):
-        return jnp.sum(jnp.sin(f2.fftconv2(uu, a, b, c, lay, False)))
+    def loss_fast(uu, a, b):
+        return jnp.sum(jnp.sin(f2.fftconv2(uu, a, b, lay, False)))
 
-    def loss_ref(uu, a, b, c):
-        return jnp.sum(jnp.sin(f2.conv2_ref(uu, a, b, c, lay)))
+    def loss_ref(uu, a, b):
+        return jnp.sum(jnp.sin(f2.conv2_ref(uu, a, b, lay)))
 
-    g1 = jax.grad(loss_fast, argnums=(0, 1, 2, 3))(uc, kfr, kfi, knyq)
-    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(uc, kfr, kfi, knyq)
+    g1 = jax.grad(loss_fast, argnums=(0, 1, 2))(uc, kfr, kfi)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(uc, kfr, kfi)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
@@ -79,7 +79,7 @@ def test_conv2_gelu_d_epilogue():
     u = rng.randn(B, H, L).astype(np.float32)
     k = rng.randn(H, n).astype(np.float32) * 0.3
     d = rng.randn(H).astype(np.float32)
-    kfr, kfi, knyq = f2.kernel_spectrum(jnp.asarray(k), lay)
+    kfr, kfi = f2.kernel_spectrum(jnp.asarray(k), lay)
     uc = f2.to_compact(jnp.asarray(u), lay)
 
     y_conv = _direct(u, k, n, L)
@@ -87,6 +87,6 @@ def test_conv2_gelu_d_epilogue():
     import math
     y_ref = 0.5 * pre * (1 + np.vectorize(math.erf)(pre / np.sqrt(2.0)))
 
-    yc = f2.fftconv2_gelu_d(uc, kfr, kfi, knyq, jnp.asarray(d), lay, False)
+    yc = f2.fftconv2_gelu_d(uc, kfr, kfi, jnp.asarray(d), lay, False)
     y = np.asarray(f2.from_compact(yc, lay, L))
     np.testing.assert_allclose(y, y_ref, atol=2e-3, rtol=1e-3)
