@@ -48,7 +48,10 @@ def build(batch: int, d_model: int = 128, L: int = 16000, T: int = 200):
     else:
         schedule = diffusion_schedule(T=T, beta_0=1e-4, beta_T=0.02)
 
-    mode = "fact" if jax.default_backend() in ("tpu", "axon") else True
+    if jax.default_backend() in ("tpu", "axon"):
+        mode = "v2" if model.v2_compatible(L) else "fact"
+    else:
+        mode = True
     kernels = jax.jit(lambda p: model.apply(
         p, L, mode, method=Sashimi.compute_kernels))(params)
 

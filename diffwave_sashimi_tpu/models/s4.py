@@ -404,10 +404,12 @@ class TorchConv1x1(nn.Module):
                        (self.out_channels, self.in_channels), self.param_dtype)
         b = self.param("b", torch_uniform_init(self.in_channels),
                        (self.out_channels,), self.param_dtype)
-        y = jnp.einsum("bc...,oc->bo...", x.astype(self.dtype),
+        eq = "bscr,oc->bsor" if x.ndim == 4 else "bc...,oc->bo..."
+        bshape = (1, 1, -1, 1) if x.ndim == 4 else \
+            (1, -1) + (1,) * (x.ndim - 2)
+        y = jnp.einsum(eq, x.astype(self.dtype),
                        w.astype(self.dtype), preferred_element_type=jnp.float32)
-        b = b.astype(jnp.float32).reshape((1, -1) + (1,) * (x.ndim - 2))
-        return (y + b).astype(self.dtype)
+        return (y + b.astype(jnp.float32).reshape(bshape)).astype(self.dtype)
 
 
 def _act_fn(name: Optional[str]):
@@ -527,10 +529,13 @@ class S4(nn.Module):
         return factorize_kernel_freq(k[0], n)
 
     def v2_layout(self, L: int) -> fftconv2.Layout:
-        """Compact layout for the v2 fused conv at generation length L."""
+        """Compact layout for the v2 fused conv at generation length L.
+        bf16 activations -> bf16 in-kernel temporaries (same numerics
+        class, halves the kernel's VMEM frame)."""
         L_kernel = L if not self.l_max else min(L, self.l_max)
         return fftconv2.choose_layout(L, _fft_size(L_kernel + L),
-                                      self.d_model)
+                                      self.d_model,
+                                      bf16=self.dtype == jnp.bfloat16)
 
     def compute_kernel_v2(self, L: int):
         """(kfr, kfi) c-folded spectrum tiles for the v2 layout-native
@@ -560,20 +565,23 @@ class S4(nn.Module):
 
     def _postact(self, y: jnp.ndarray) -> jnp.ndarray:
         """Output linear + postact (ref LinearActivation, models/s4.py:
-        163-177): GLU doubles the linear width and gates over channels."""
+        163-177): GLU doubles the linear width and gates over channels.
+        Channel axis: 1 for flat (B, C, L), 2 for compact (B, S, C, Rc)."""
         y = self.output_linear(y)
         if self.postact == "glu":
-            a, b = jnp.split(y, 2, axis=1)
+            a, b = jnp.split(y, 2, axis=2 if y.ndim == 4 else 1)
             return a * jax.nn.sigmoid(b)                   # GLU(dim=-2)
         return _act_fn(self.postact)(y)
 
     def _dropout_nd(self, y: jnp.ndarray, train: bool) -> jnp.ndarray:
         if self.dropout > 0.0 and train:
-            # DropoutNd: mask tied across the sequence length (ref :179-199)
+            # DropoutNd: mask tied across the sequence length (ref :179-199);
+            # per (batch, channel) — channel is dim 2 in the compact layout
             keep = 1.0 - self.dropout
-            mask = jax.random.bernoulli(
-                self.make_rng("dropout"), keep,
-                y.shape[:2] + (1,) * (y.ndim - 2))
+            mshape = ((y.shape[0], 1, y.shape[2], 1) if y.ndim == 4
+                      else y.shape[:2] + (1,) * (y.ndim - 2))
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep,
+                                        mshape)
             y = y * mask / keep
         return y
 
@@ -597,7 +605,8 @@ class S4(nn.Module):
             assert u.ndim == 4 and state is None and rate == 1.0
             kfr, kfi = kernel
             lay = self.v2_layout(self.l_max)
-            assert u.shape[2:] == (lay.S, lay.Rc), (u.shape, lay)
+            assert u.shape[1] == lay.S and u.shape[3] == lay.Rc, \
+                (u.shape, lay)
             fast = fftconv_pallas.FAST["enabled"]
             if not train:
                 # conv + D-skip + exact GELU fused in-kernel
@@ -605,7 +614,8 @@ class S4(nn.Module):
                     u, kfr, kfi, self.D[0].astype(jnp.float32), lay, fast)
             else:
                 y = fftconv2.fftconv2(u, kfr, kfi, lay, fast)
-                y = y + (self.D[0].astype(self.dtype)[None, :, None, None]
+                # + D*u on the channel-inner layout (channel at dim 2)
+                y = y + (self.D[0].astype(self.dtype)[None, None, :, None]
                          * u)
                 y = jax.nn.gelu(y, approximate=False)
                 y = self._dropout_nd(y, train)

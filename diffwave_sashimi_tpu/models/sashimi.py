@@ -72,11 +72,22 @@ class DownPool(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        B, H, L = x.shape
         s = self.pool
-        # '... h (l s) -> ... (h s) l' : h-major stacking of the s phases
-        x = x.reshape(B, H, L // s, s)
-        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(B, H * s, L // s)
+        if x.ndim == 4:
+            # compact (B, S, H, Rc): t = t1*S + t2; p | S so pooling only
+            # splits the sublane axis t2 = t2'*p + phase -> new layout has
+            # S' = S/p with the SAME Rc (the pooled tier's native layout,
+            # since choose_layout scales S with n while R stays fixed).
+            B, S, H, Rc = x.shape
+            x = x.reshape(B, S // s, s, H, Rc)
+            # '... h (l s) -> ... (h s) l': h-major channel stacking
+            x = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(B, S // s,
+                                                          H * s, Rc)
+        else:
+            B, H, L = x.shape
+            # '... h (l s) -> ... (h s) l' : h-major stacking of the s phases
+            x = x.reshape(B, H, L // s, s)
+            x = jnp.transpose(x, (0, 1, 3, 2)).reshape(B, H * s, L // s)
         return WNConv1d(self.d_input * s, self.d_output, kernel_size=1,
                         name="linear", dtype=self.dtype,
                         param_dtype=self.param_dtype)(x)
@@ -97,6 +108,12 @@ class UpPool(nn.Module):
         x = WNConv1d(self.d_input, self.d_output * s, kernel_size=1,
                      name="linear", dtype=self.dtype,
                      param_dtype=self.param_dtype)(x)
+        if x.ndim == 4:
+            # compact: inverse of DownPool's sublane split (same Rc)
+            B, S, Hs, Rc = x.shape
+            H = Hs // s
+            x = x.reshape(B, S, H, s, Rc)
+            return jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(B, S * s, H, Rc)
         B, Hs, L = x.shape
         H = Hs // s
         # '... (h s) l -> ... h (l s)'
@@ -136,12 +153,20 @@ class DiffWaveBlock(nn.Module):
                  mel_spec: Optional[jnp.ndarray] = None,
                  kernel: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
+        compact = x.ndim == 4                 # (B, S, H, Rc) channel-inner
         y = self.norm1(x)
-        y = y + self.fc_t(step_embed)[:, :, None]
+        bias = self.fc_t(step_embed)
+        y = y + (bias[:, None, :, None] if compact else bias[:, :, None])
         y = self.s4(y, kernel=kernel, train=train)
         if mel_spec is not None:
             assert not self.unconditional
-            mel = self.mel_upsampler(mel_spec, y.shape[-1])
+            if compact:
+                from ..ops import fftconv2
+                lay = self.s4.v2_layout(self.L)
+                mel = self.mel_upsampler(mel_spec, lay.L)
+                mel = fftconv2.to_compact(mel, lay).astype(y.dtype)
+            else:
+                mel = self.mel_upsampler(mel_spec, y.shape[-1])
             y = y + self.mel_conv(mel)
         x = x + y
         y = self.norm2(x)
@@ -156,6 +181,9 @@ class DiffWaveBlock(nn.Module):
 
     def compute_kernel_fact(self, L: int) -> jnp.ndarray:
         return self.s4.compute_kernel_fact(L)
+
+    def compute_kernel_v2(self, L: int):
+        return self.s4.compute_kernel_v2(L)
 
 
 class _ScanBlock(nn.Module):
@@ -366,6 +394,22 @@ class Sashimi(nn.Module):
             info.append((f"u{si}_blocks", H, Lt, Lg))
         return info
 
+    def v2_compatible(self, audio_length: int) -> bool:
+        """True when the whole forward can run in ONE channel-inner compact
+        layout (ops/fftconv2): generation length == trained length, every
+        tier wide enough for the fixed-R layout, and channel counts
+        divisible by the kernel's channel blocking."""
+        if not self.block_scan or audio_length != self.L:
+            return False
+        if self.d_model % 8 != 0:
+            return False
+        L_deep = self.L
+        for p in self.pool:
+            L_deep //= p
+        # deepest tier needs n = fft_size(2*L) >= 2048 so that R=256 holds
+        # at every tier (layout compat across pools)
+        return L_deep >= 513
+
     def compute_kernels(self, audio_length: int,
                         freq: bool = False) -> Dict[str, jnp.ndarray]:
         """All S4 conv kernels for sequences of ``audio_length`` samples.
@@ -383,7 +427,8 @@ class Sashimi(nn.Module):
             # the bound scan modules own the params; we read them directly)
             method = {False: DiffWaveBlock.compute_kernel,
                       True: DiffWaveBlock.compute_kernel_freq,
-                      "fact": DiffWaveBlock.compute_kernel_fact}[freq]
+                      "fact": DiffWaveBlock.compute_kernel_fact,
+                      "v2": DiffWaveBlock.compute_kernel_v2}[freq]
             all_params = self.variables["params"]
             kernels: Dict[str, jnp.ndarray] = {}
             for name, H, Lt, Lg in self._scan_stage_info(audio_length):
@@ -399,7 +444,8 @@ class Sashimi(nn.Module):
         d_L, c_L, u_L = self._stage_lengths(audio_length)
         get = {False: (lambda m, L: m.compute_kernel(L)),
                True: (lambda m, L: m.compute_kernel_freq(L)),
-               "fact": (lambda m, L: m.compute_kernel_fact(L))}[freq]
+               "fact": (lambda m, L: m.compute_kernel_fact(L)),
+               "v2": (lambda m, L: m.compute_kernel_v2(L))}[freq]
         kernels = {}
         for mod, L in zip(self.d_mods, d_L):
             if L is not None:
@@ -418,7 +464,28 @@ class Sashimi(nn.Module):
         assert audio.shape[-1] % int(
             math.prod(self.pool)) == 0, "audio length must divide the pooling"
 
+        if self.block_scan and kernels is None and not self.is_initializing() \
+                and jax.default_backend() in ("tpu", "axon") \
+                and self.d_model % 8 == 0:
+            # training-path fast conv: compute fused-conv kernels once per
+            # step; gradients flow through compute_kernels (cauchy,
+            # Woodbury, irfft) and the conv's exact custom_vjp
+            mode = "v2" if self.v2_compatible(audio.shape[-1]) else "fact"
+            kernels = self.compute_kernels(audio.shape[-1], mode)
+        compact = (self.block_scan and kernels is not None
+                   and isinstance(next(iter(kernels.values())),
+                                  (tuple, list)))
         x = audio.astype(self.dtype)
+        if compact:
+            # the whole forward runs in the channel-inner compact layout
+            # (ops/fftconv2): relayout only this 1-channel input and the
+            # 1-channel eps output
+            assert audio.shape[-1] == self.L, (audio.shape, self.L)
+            from ..ops import fftconv2
+            lay0 = fftconv2.choose_layout(
+                self.L, 1 << (2 * self.L - 1).bit_length(), self.d_model)
+            x = fftconv2.to_compact(x, lay0)
+
         x = jax.nn.relu(self.init_conv(x))
 
         embed = diffusion_step_embedding(
@@ -428,14 +495,6 @@ class Sashimi(nn.Module):
         embed = swish(self.fc_t2(embed))
 
         if self.block_scan:
-            if kernels is None and not self.is_initializing() \
-                    and jax.default_backend() in ("tpu", "axon") \
-                    and self.d_model % 8 == 0:
-                # training-path fast conv: compute factorized kernels once
-                # per step and run the FORWARD conv through the fused Pallas
-                # kernel; gradients flow through compute_kernels (cauchy,
-                # Woodbury, irfft) and the conv's exact unfused custom_vjp
-                kernels = self.compute_kernels(audio.shape[-1], "fact")
             kget = (lambda name: None) if kernels is None else kernels.get
             pool_skips, stage_skips = [], []
             for si, dp in enumerate(self.d_pools):
@@ -467,6 +526,8 @@ class Sashimi(nn.Module):
             x = self.norm(x)
             x = jax.nn.relu(self.final_conv1(x))
             x = self.final_conv2(x)
+            if compact:
+                x = fftconv2.from_compact(x, lay0)
             return x.astype(jnp.float32)
 
         k = (lambda mod: None) if kernels is None else (

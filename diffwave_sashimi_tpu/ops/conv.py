@@ -34,6 +34,12 @@ from flax import linen as nn
 Dtype = Any
 
 
+def _bshape(ndim: int):
+    """Per-channel bias broadcast shape: channel is dim 1 for flat (B, C, L)
+    activations, dim 2 for the compact (B, S, C, Rc) layout (ops/fftconv2)."""
+    return (1, 1, -1, 1) if ndim == 4 else (1, -1) + (1,) * (ndim - 2)
+
+
 def torch_uniform_init(fan_in: int) -> Callable:
     """torch's default kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))."""
     bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
@@ -79,7 +85,7 @@ class WNConv1d(nn.Module):
         if self.use_bias:
             b = self.param("b", torch_uniform_init(fan_in),
                            (self.out_channels,), self.param_dtype)
-            y = y + b.astype(self.dtype).reshape((1, -1) + (1,) * (x.ndim - 2))
+            y = y + b.astype(self.dtype).reshape(_bshape(x.ndim))
         return y
 
 
@@ -97,10 +103,10 @@ class ZeroConv1d(nn.Module):
                        (self.out_channels, self.in_channels), self.param_dtype)
         b = self.param("b", nn.initializers.zeros,
                        (self.out_channels,), self.param_dtype)
-        y = jnp.einsum("bc...,oc->bo...", x.astype(self.dtype),
-                       w.astype(self.dtype),
+        eq = "bscr,oc->bsor" if x.ndim == 4 else "bc...,oc->bo..."
+        y = jnp.einsum(eq, x.astype(self.dtype), w.astype(self.dtype),
                        preferred_element_type=jnp.float32)
-        b = b.astype(jnp.float32).reshape((1, -1) + (1,) * (x.ndim - 2))
+        b = b.astype(jnp.float32).reshape(_bshape(x.ndim))
         return (y + b).astype(self.dtype)
 
 
@@ -135,9 +141,14 @@ def conv1d_ncl(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
     """
     k = w.shape[-1]
     if k == 1 and stride == 1:
-        # pure channel matmul; works for any trailing layout (B, C, ...)
-        y = jnp.einsum("bc...,oc->bo...", x, w[:, :, 0],
-                       preferred_element_type=jnp.float32)
+        # pure channel matmul.  3-dim activations are (B, C, L); 4-dim are
+        # the channel-inner compact layout (B, S, C, Rc) of ops/fftconv2.
+        if x.ndim == 4:
+            y = jnp.einsum("bscr,oc->bsor", x, w[:, :, 0],
+                           preferred_element_type=jnp.float32)
+        else:
+            y = jnp.einsum("bc...,oc->bo...", x, w[:, :, 0],
+                           preferred_element_type=jnp.float32)
         return y.astype(x.dtype)
     pad = dilation * (k - 1) // 2
     # no preferred_element_type: upcasting the output then downcasting makes

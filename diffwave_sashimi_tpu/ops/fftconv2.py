@@ -94,27 +94,44 @@ def choose_layout(L: int, n: int, H: int, R: Optional[int] = None,
                   HB: Optional[int] = None, bf16: bool = False) -> Layout:
     """Pick (R, S, Rc, HB) for a tier.  Total matmul cost scales as
     ~8*n*(Rc + S) per channel with Rc ~= L/S, so S ~ sqrt(L) minimizes
-    FLOPs; lane dims (R, Rc) want to be multiples of 128."""
+    FLOPs; lane dims (R, Rc) want to be multiples of 128.
+
+    The default R is FIXED at 256 (n permitting) rather than per-tier
+    optimal: with R constant, a UNet tier pooled by p has exactly the
+    parent layout with S/p and the same Rc (n scales with L), so pooling
+    is a pure sublane reshape and activations stay in one layout across
+    the whole network.  R=256 ~ n/sqrt(L) is also the measured winner at
+    every SaShiMi tier on v5e (see scripts/conv_bench.py)."""
     assert n & (n - 1) == 0 and n >= 256, n
     if R is None:
-        # S ~= sqrt(L) rounded to the po2 that keeps R = n/S >= 128
-        S_opt = 1 << max(0, int(round(np.log2(max(L, 4) ** 0.5))))
-        R = max(128, n // max(S_opt, 1))
-        R = min(R, n // 8)
+        R = min(256, n // 8)
     S = n // R
     Rc = -(-L // S)  # ceil: lanes needed to cover L
     # round Rc up to a power of two (tile-friendly), capped at R
     Rc = 1 << (Rc - 1).bit_length()
     Rc = min(Rc, R)
     assert Rc * S >= L, (Rc, S, L)
+    Q = S // 2 + 1
     if HB is None:
-        HB = 8
-        # grow the per-program channel batch while the biggest live temp
-        # set stays well under VMEM (~16 MB): temps are ~6 arrays of
-        # (S*HB, R) f32 (half that in bf16 mode)
+        # grow the per-program channel batch while the estimated VMEM frame
+        # (double-buffered io tiles + kernel-spectrum tiles + ~6 live
+        # (S*HB, R) temporaries + DFT constants) fits the 16 MB scoped
+        # limit with headroom
         itm = 2 if bf16 else 4
+
+        def frame(hb: int) -> int:
+            io = 4 * S * hb * Rc * itm          # in+out, double-buffered
+            kf = 2 * Q * hb * R * 4             # spectrum pair (f32)
+            tmps = 6 * S * hb * R * itm
+            consts = (4 * Rc * R + 4 * S * R + 4 * Q * S + S * Rc) * 4
+            return io + kf + tmps + consts
+
+        # Mosaic's true frame runs ~1.4x this estimate (extra pipeline
+        # buffers); 10 MB here keeps the observed frame under the 16 MB
+        # scoped-vmem limit
+        HB = 8
         while HB < 64 and H % (HB * 2) == 0 \
-                and 6 * (HB * 2) * S * R * itm <= 10 * 2 ** 20:
+                and frame(HB * 2) <= 10 * 2 ** 20:
             HB *= 2
     assert H % HB == 0, (H, HB)
     return Layout(n=n, R=R, S=S, Rc=Rc, L=L, HB=HB, bf16=bf16)

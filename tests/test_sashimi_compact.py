@@ -1,0 +1,78 @@
+"""End-to-end correctness of the channel-inner compact-layout fast path:
+Sashimi forward with "v2" kernels must match the standard flat-layout
+forward (which is itself parity-tested against the reference torch model
+in test_sashimi_parity.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+
+from diffwave_sashimi_tpu.models.sashimi import Sashimi
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    # smallest config whose tiers all satisfy the fixed-R layout compat
+    # (deepest tier L/16 = 1000 -> n = 2048, R = 256)
+    model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), expand=2, ff=2,
+                    L=16000)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 1, 16000), jnp.float32),
+                        jnp.zeros((1,), jnp.int32))
+    return model, params
+
+
+def test_v2_compatible_gate(model_and_params):
+    model, _ = model_and_params
+    assert model.v2_compatible(16000)
+    assert not model.v2_compatible(8000)     # != trained length
+    small = Sashimi(d_model=8, n_layers=1, pool=(4, 4), L=4096)
+    assert not small.v2_compatible(4096)     # deepest tier too short
+
+
+def test_compact_forward_matches_flat(model_and_params):
+    model, params = model_and_params
+    rng = np.random.RandomState(0)
+    audio = rng.randn(2, 1, 16000).astype(np.float32) * 0.3
+    steps = np.array([7, 100], np.int32)
+
+    y_flat = model.apply(params, jnp.asarray(audio), jnp.asarray(steps))
+    kernels = model.apply(params, 16000, "v2",
+                          method=Sashimi.compute_kernels)
+    for v in kernels.values():
+        assert isinstance(v, tuple) and len(v) == 2
+    y_v2 = model.apply(params, jnp.asarray(audio), jnp.asarray(steps),
+                       kernels=kernels)
+    np.testing.assert_allclose(np.asarray(y_v2), np.asarray(y_flat),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_compact_forward_train_grads(model_and_params):
+    """The differentiable (train=True) compact path: grads vs the flat
+    path through the same loss."""
+    model, params = model_and_params
+    rng = np.random.RandomState(1)
+    audio = jnp.asarray(rng.randn(1, 1, 16000).astype(np.float32) * 0.3)
+    steps = jnp.asarray(np.array([42], np.int32))
+
+    kernels = model.apply(params, 16000, "v2",
+                          method=Sashimi.compute_kernels)
+
+    def loss_v2(p):
+        k = model.apply(p, 16000, "v2", method=Sashimi.compute_kernels)
+        y = model.apply(p, audio, steps, kernels=k, train=True)
+        return jnp.mean(y ** 2)
+
+    def loss_flat(p):
+        y = model.apply(p, audio, steps, train=True)
+        return jnp.mean(y ** 2)
+
+    g_v2 = jax.grad(loss_v2)(params)
+    g_flat = jax.grad(loss_flat)(params)
+    flat_v2, _ = jax.flatten_util.ravel_pytree(g_v2)
+    flat_fl, _ = jax.flatten_util.ravel_pytree(g_flat)
+    np.testing.assert_allclose(np.asarray(flat_v2), np.asarray(flat_fl),
+                               atol=5e-5, rtol=5e-3)
