@@ -79,7 +79,9 @@ def _alarm(sig, frame):
 
 def measure_generation(T: int = 200, L: int = 16000, sr: int = 16000):
     last_err = None
-    for batch in (16, 8):  # B>=32 chains hang the device queue
+    # B>=32 needs the periodic queue sync in sampling_pipelined (the axon
+    # dispatch queue deadlocks on long unsynced chains)
+    for batch in (64, 32, 16, 8):
         try:
             # a hung batch (device fault that never surfaces) must not stall
             # the whole bench: hard-timeout each attempt

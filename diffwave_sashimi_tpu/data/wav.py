@@ -41,11 +41,12 @@ def load_wav_float(path: str) -> Tuple[np.ndarray, int]:
 
 
 def save_wav(path: str, sr: int, audio: np.ndarray) -> None:
-    """Write float [-1, 1] (or already-int16) audio as int16 PCM."""
+    """Write audio as-is: float arrays become IEEE-float32 WAV, exactly like
+    the reference's raw scipy wavwrite of the generated float tensor
+    (reference generate.py:188-192); int16 passes through as PCM."""
     audio = np.asarray(audio)
     if audio.dtype != np.int16:
-        audio = np.clip(audio, -1.0, 1.0 - 1.0 / MAX_WAV_VALUE)
-        audio = (audio * MAX_WAV_VALUE).astype(np.int16)
+        audio = audio.astype(np.float32)
     wavfile.write(path, int(sr), audio)
 
 

@@ -99,8 +99,15 @@ def make_sampling_step(apply_fn, shape, schedule, dtype=jnp.float32):
 
 def sampling_pipelined(apply_fn, params, shape, schedule, rng,
                        condition=None, dtype=jnp.float32,
-                       step_fn=None) -> jnp.ndarray:
-    """Reverse diffusion as T pipelined dispatches (same math as `sampling`)."""
+                       step_fn=None, sync_every: int = 64) -> jnp.ndarray:
+    """Reverse diffusion as T pipelined dispatches (same math as `sampling`).
+
+    ``sync_every``: force a tiny device->host read every N dispatches.  The
+    axon backend deadlocks its dispatch queue when several hundred large
+    dependent programs are enqueued without an intervening sync (observed
+    at batch >= 32 with T=200); a periodic 1-element D2H bounds the queue
+    depth at negligible cost.  0 disables.
+    """
     init_rng, loop_rng = jax.random.split(rng)
     x = jax.random.normal(init_rng, shape, dtype=dtype)
     keys = jax.random.split(loop_rng, schedule.T)
@@ -109,7 +116,15 @@ def sampling_pipelined(apply_fn, params, shape, schedule, rng,
     if step_fn is None:
         step_fn = make_sampling_step(apply_fn, shape, schedule, dtype)
 
-    for t in range(schedule.T - 1, -1, -1):
+    for i, t in enumerate(range(schedule.T - 1, -1, -1)):
         x = step_fn(params, x, condition, keys, sched,
                     np.int32(t))
+        if sync_every and (i + 1) % sync_every == 0:
+            jax.device_get(_probe(x))
     return x
+
+
+@jax.jit
+def _probe(x):
+    """1-element view used to flush the dispatch queue with a tiny D2H."""
+    return jax.lax.slice(x, (0,) * x.ndim, (1,) * x.ndim)

@@ -35,8 +35,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host numpy batch onto the mesh, split along axis 0."""
+    """Place a host numpy batch onto the mesh, split along axis 0.
+
+    Single-process: a plain sharded device_put.  Multi-host: ``batch`` is
+    this process's LOCAL shard (global_batch / process_count rows, from its
+    DistributedSampler-style loader shard) and the global array is
+    assembled from the per-process shards without any cross-host copy
+    (jax.make_array_from_process_local_data)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            batch_sharding(mesh), batch)
     return jax.device_put(batch, batch_sharding(mesh))
+
+
+def is_main_process() -> bool:
+    """Rank-0 gate for filesystem/logging side effects (the reference's
+    rank-0-only checkpoint/wandb writes, reference train.py:156-186)."""
+    return jax.process_index() == 0
 
 
 def mesh_from_cfg(mesh_cfg) -> Mesh:

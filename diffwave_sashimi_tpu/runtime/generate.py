@@ -142,35 +142,72 @@ def generate(diffusion_cfg, model_cfg, dataset_cfg,
                                   condition=cond, step_fn=step_fn)
 
     key = jax.random.fold_in(jax.random.PRNGKey(seed), rank)
-    # warm the compile outside the timed/profiled region
-    key, warm = jax.random.split(key)
-    run(params, kernels, cond_dev, warm).block_until_ready()
 
     import contextlib
     prof = (jax.profiler.trace(profile_dir) if profile_dir
             else contextlib.nullcontext())
-    chunks = []
-    t0 = time.time()
+    # Timing honesty (CLAUDE.md fact 5): block_until_ready does NOT
+    # reliably wait on the axon backend — completion is forced by the full
+    # device->host read inside the timed region.  No separate warm-up
+    # sampling pass (it doubled the cost of every in-training generation);
+    # the first call in a process includes compile time, so the realtime
+    # factor is only printed from steady state (chunks after the first, or
+    # flagged as cold otherwise).  bench.py remains the rigorous
+    # slope-timed measurement.
+    chunk_np = []
+    chunk_secs = []
     with prof:
         for i in range(n_samples // batch_size):
             key, sub = jax.random.split(key)
-            chunks.append(run(params, kernels, cond_dev, sub))
-        generated = jnp.concatenate(chunks, axis=0)
-        generated.block_until_ready()
-    elapsed = time.time() - t0
+            t0 = time.time()
+            out = run(params, kernels, cond_dev, sub)
+            chunk_np.append(np.asarray(out))        # forced D2H
+            chunk_secs.append(time.time() - t0)
+    generated = np.concatenate(chunk_np, axis=0)
 
     sr = int(dataset_cfg["sampling_rate"])
     audio_seconds = n_samples * audio_length / sr
+    if len(chunk_secs) > 1:
+        # steady-state: exclude the (possibly compiling) first chunk
+        per = sum(chunk_secs[1:]) / (len(chunk_secs) - 1)
+        rt = batch_size * audio_length / sr / per
+        note = ""
+    else:
+        per = chunk_secs[0]
+        rt = audio_seconds / sum(chunk_secs)
+        note = " (single chunk; includes any compile)"
     print(f"generated {n_samples} samples of {audio_length / sr:.2f}s at "
-          f"iteration {ckpt_iter} in {elapsed:.2f}s "
-          f"({audio_seconds / elapsed:.2f}x realtime)", flush=True)
-
-    generated = np.asarray(generated)
+          f"iteration {ckpt_iter} in {sum(chunk_secs):.2f}s "
+          f"({rt:.2f}x realtime{note})", flush=True)
     if write_wavs:
         for i in range(n_samples):
             outfile = f"{ckpt_iter // 1000}k_{n_samples * rank + i}.wav"
             save_wav(os.path.join(output_directory, outfile), sr,
                      generated[i, 0])
+    if write_wavs and mel_name is not None and rank == 0:
+        # vocoding has a ground-truth waveform: emit a fidelity report
+        # (utils/audio_metrics) next to the generated wavs
+        try:
+            import json
+            from ..utils.audio_metrics import compare
+            from ..data.wav import load_wav_float
+            ref, _ = load_wav_float(
+                os.path.join(dataset_cfg["data_path"], f"{mel_name}.wav"))
+            n = min(ref.shape[-1], generated.shape[-1])
+            m = compare(ref[:n], generated[0, 0, :n], sr)
+            m = {k: (float(v) if np.isfinite(v) else None)
+                 for k, v in m.items()}
+            m["mel_name"] = mel_name
+            m["ckpt_iter"] = ckpt_iter
+            with open(os.path.join(output_directory, "fidelity.json"),
+                      "w") as f:
+                json.dump(m, f, indent=1)
+            print(f"fidelity vs {mel_name}: "
+                  + ", ".join(f"{k}={v:.4g}" for k, v in m.items()
+                              if isinstance(v, float)), flush=True)
+        except Exception as e:  # metrics must never fail generation
+            print(f"fidelity metrics skipped: {type(e).__name__}: {e}",
+                  flush=True)
     return generated
 
 

@@ -17,11 +17,19 @@ from typing import Any, Dict, Optional
 
 class MetricsLogger:
     def __init__(self, log_dir: str, wandb_cfg: Optional[Dict[str, Any]] = None,
-                 run_config: Optional[Dict[str, Any]] = None):
+                 run_config: Optional[Dict[str, Any]] = None,
+                 enabled: bool = True):
+        """``enabled=False`` makes every method a no-op — non-zero processes
+        in a multi-host run (the reference's rank-0-only wandb/writes,
+        reference train.py:29-33, 156-186)."""
+        self._enabled = enabled
+        self._wandb = None
+        if not enabled:
+            self._f = None
+            return
         os.makedirs(log_dir, exist_ok=True)
         self._path = os.path.join(log_dir, "metrics.jsonl")
         self._f = open(self._path, "a")
-        self._wandb = None
         mode = (wandb_cfg or {}).get("mode", "disabled")
         if wandb_cfg and mode != "disabled":
             try:
@@ -33,6 +41,8 @@ class MetricsLogger:
                 print("wandb requested but not installed; JSONL logging only")
 
     def log(self, metrics: Dict[str, Any], step: int) -> None:
+        if not self._enabled:
+            return
         rec = {"step": int(step), "time": time.time(), **metrics}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
@@ -46,6 +56,7 @@ class MetricsLogger:
             self._wandb.log({"inference/audio": audio}, step=step)
 
     def finish(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._wandb is not None:
             self._wandb.finish()

@@ -28,7 +28,8 @@ import optax
 
 from ..diffusion import schedule_from_cfg, training_loss
 from ..models import construct_model
-from ..parallel.mesh import mesh_from_cfg, shard_batch, replicated
+from ..parallel.mesh import (mesh_from_cfg, shard_batch, replicated,
+                             is_main_process)
 from ..utils.exp import local_directory
 from ..data import dataloader
 from .checkpoint import save_checkpoint, load_checkpoint
@@ -112,14 +113,20 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
     remat = bool((compute_cfg or {}).get("remat", False))
 
     if data_loader is None:
-        # multi-host: each process loads its shard (DistributedSampler
-        # semantics); single-host: one loader feeds all local devices
-        data_loader = dataloader(dataset_cfg, batch_size=global_batch,
-                                 num_replicas=jax.process_count(),
+        # multi-host: each process loads a DistributedSampler-style shard
+        # and yields LOCAL batches of global_batch / process_count rows;
+        # shard_batch assembles the global array from the local shards
+        # (jax.make_array_from_process_local_data).  Single-host: one
+        # loader feeds all local devices.
+        n_proc = jax.process_count()
+        assert global_batch % n_proc == 0, (global_batch, n_proc)
+        data_loader = dataloader(dataset_cfg,
+                                 batch_size=global_batch // n_proc,
+                                 num_replicas=n_proc,
                                  replica_id=jax.process_index(),
                                  unconditional=model_cfg["unconditional"])
-    print(f"Data loaded: {len(data_loader)} batches of {global_batch} "
-          f"({n_dev} devices)", flush=True)
+    print(f"Data loaded: {len(data_loader)} batches "
+          f"({global_batch} global, {n_dev} devices)", flush=True)
     if len(data_loader) == 0:
         raise ValueError(
             f"dataset yielded 0 batches of {global_batch} — check "
@@ -173,8 +180,9 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
         opt_state = jax.device_put(opt_state, replicated(mesh))
         step_fn = make_train_step(model, optimizer, schedule)
 
+        main_proc = is_main_process()
         logger = MetricsLogger(os.path.join("exp", local_path),
-                               wandb_cfg, run_config)
+                               wandb_cfg, run_config, enabled=main_proc)
         n_iter = start_iter
         t_start = time.time()
         try:
@@ -212,7 +220,9 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
                                    step=n_iter)
                         print(f"iter {n_iter} loss {loss_v:.5f}", flush=True)
 
-                    if n_iter > 0 and n_iter % iters_per_ckpt == 0:
+                    if n_iter > 0 and n_iter % iters_per_ckpt == 0 \
+                            and main_proc:
+                        # rank-0-only writes (ref train.py:156-186)
                         save_checkpoint(ckpt_dir, n_iter, params, opt_state)
                         print(f"model at iteration {n_iter} is saved",
                               flush=True)

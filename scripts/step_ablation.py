@@ -25,20 +25,25 @@ from diffwave_sashimi_tpu.models.sashimi import Sashimi  # noqa: E402
 B, D, L = 16, 128, 16000
 
 
-def build_step(ablate_conv: bool):
+def build_step(ablate_conv: bool, mode: str = "v2"):
     model = Sashimi(d_model=D, n_layers=6, pool=(4, 4), expand=2, ff=2,
                     L=L, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 1, L), jnp.float32),
                                  jnp.zeros((1,), jnp.int32))
     kernels = jax.jit(lambda p: model.apply(
-        p, L, "fact", method=Sashimi.compute_kernels))(params)
+        p, L, mode, method=Sashimi.compute_kernels))(params)
     sched = diffusion_schedule(T=200, beta_0=1e-4, beta_T=0.02)
 
+    from diffwave_sashimi_tpu.ops import fftconv2 as f2
     orig = s4mod.fftconv_fused
+    orig2, orig2g = f2.fftconv2, f2.fftconv2_gelu_d
     if ablate_conv:
-        # identity-ish stand-in with the same signature/shape, negligible cost
+        # identity-ish stand-ins with the same signature/shape
         s4mod.fftconv_fused = lambda u, kf, n, Lo, fast=False: u[..., :Lo]
+        s4mod.fftconv2.fftconv2 = lambda u, a, b, lay, fast=True: u
+        s4mod.fftconv2.fftconv2_gelu_d = \
+            lambda u, a, b, d, lay, fast=True: u
     try:
         step = make_sampling_step(
             lambda pk, x, t, mel: model.apply(pk[0], x, t, mel, pk[1]),
@@ -68,6 +73,9 @@ def build_step(ablate_conv: bool):
         return ms
     finally:
         s4mod.fftconv_fused = orig
+        f2.fftconv2, f2.fftconv2_gelu_d = orig2, orig2g
+        s4mod.fftconv2.fftconv2 = orig2
+        s4mod.fftconv2.fftconv2_gelu_d = orig2g
 
 
 def main():
