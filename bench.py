@@ -77,51 +77,63 @@ def _alarm(sig, frame):
     raise _Timeout()
 
 
-def measure_generation(T: int = 200, L: int = 16000, sr: int = 16000):
+def measure_generation(T: int = 200, L: int = 16000, sr: int = 16000,
+                       batches=(16, 32, 8)):
+    """Best realtime factor over candidate batch sizes (throughput is
+    roughly flat in batch — the step is compute-bound, not dispatch-bound —
+    so a couple of points suffice)."""
+    best = None
     last_err = None
-    # B>=32 needs the periodic queue sync in sampling_pipelined (the axon
-    # dispatch queue deadlocks on long unsynced chains)
-    for batch in (64, 32, 16, 8):
+    for batch in batches:
         try:
-            # a hung batch (device fault that never surfaces) must not stall
-            # the whole bench: hard-timeout each attempt
-            signal.signal(signal.SIGALRM, _alarm)
-            signal.alarm(900)
-            print(f"[bench] building batch={batch}", file=sys.stderr,
-                  flush=True)
-            run, params, kernels = build(batch, L=L, T=T)
-            rng = jax.random.PRNGKey(1)
-            print(f"[bench] compiling sampler batch={batch}",
-                  file=sys.stderr, flush=True)
-            out = run(params, kernels, rng)  # compile + warmup
-            float(out.sum())  # force completion: block_until_ready does NOT
-                              # reliably wait on this backend; a D2H does
-            print(f"[bench] measuring batch={batch}", file=sys.stderr,
-                  flush=True)
-
-            # slope timing: time(K runs + 1 D2H) for K=1 and K=3; the
-            # difference isolates per-run compute from the (noisy, up to
-            # hundreds of ms) device->host readback cost
-            def timed(K, seed0):
-                t0 = time.time()
-                o = None
-                for i in range(K):
-                    o = run(params, kernels, jax.random.PRNGKey(seed0 + i))
-                float(o.sum())
-                return time.time() - t0
-            t1 = timed(1, 10)
-            t3 = timed(3, 20)
-            dt = max((t3 - t1) / 2, 1e-6)
-            signal.alarm(0)
-            audio_seconds = batch * L / sr
-            return batch, audio_seconds / dt, dt
-        except (_Timeout, Exception) as e:  # OOM/hang -> try smaller
-            signal.alarm(0)
+            r = _measure_generation_one(batch, T, L, sr)
+            if best is None or r[1] > best[1]:
+                best = r
+        except (_Timeout, Exception) as e:
             print(f"[bench] batch={batch} failed: {type(e).__name__}",
                   file=sys.stderr, flush=True)
             last_err = e
-            continue
-    raise RuntimeError(f"all batch sizes failed: {last_err}")
+    if best is None:
+        raise RuntimeError(f"all batch sizes failed: {last_err}")
+    return best
+
+
+def _measure_generation_one(batch: int, T: int, L: int, sr: int):
+    # a hung batch (device fault that never surfaces) must not stall the
+    # whole bench: hard-timeout each attempt
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(900)
+    try:
+        print(f"[bench] building batch={batch}", file=sys.stderr, flush=True)
+        run, params, kernels = build(batch, L=L, T=T)
+        rng = jax.random.PRNGKey(1)
+        print(f"[bench] compiling sampler batch={batch}", file=sys.stderr,
+              flush=True)
+        out = run(params, kernels, rng)  # compile + warmup
+        float(out.sum())  # force completion: block_until_ready does NOT
+                          # reliably wait on this backend; a D2H does
+        print(f"[bench] measuring batch={batch}", file=sys.stderr,
+              flush=True)
+
+        # slope timing: time(K runs + 1 D2H) for K=1 and K=3; the
+        # difference isolates per-run compute from the (noisy, up to
+        # hundreds of ms) device->host readback cost
+        def timed(K, seed0):
+            t0 = time.time()
+            o = None
+            for i in range(K):
+                o = run(params, kernels, jax.random.PRNGKey(seed0 + i))
+            float(o.sum())
+            return time.time() - t0
+        t1 = timed(1, 10)
+        t3 = timed(3, 20)
+        dt = max((t3 - t1) / 2, 1e-6)
+        audio_seconds = batch * L / sr
+        print(f"[bench] batch={batch}: {audio_seconds / dt:.3f}x realtime",
+              file=sys.stderr, flush=True)
+        return batch, audio_seconds / dt, dt
+    finally:
+        signal.alarm(0)
 
 
 def measure_train_step(batch: int = 8, L: int = 16000):
@@ -164,7 +176,7 @@ def main():
     # DiffWave fast sampling: explicit 6-step beta schedule (the reference's
     # fast=True + diffusion.beta override path, ref utils.py:133-135)
     try:
-        _, realtime_fast, _ = measure_generation(T=6)
+        _, realtime_fast, _ = measure_generation(T=6, batches=(16,))
     except Exception as e:
         print(f"[bench] fast-schedule bench failed: {type(e).__name__}",
               file=sys.stderr, flush=True)
