@@ -182,7 +182,7 @@ def main():
               file=sys.stderr, flush=True)
         realtime_fast = None
     steps_per_sec = None
-    for tb in (4, 2):  # B8 backward exceeds HBM even with remat + fused conv
+    for tb in (8, 4, 2):
         try:
             steps_per_sec = measure_train_step(batch=tb)
             train_batch = tb
@@ -190,6 +190,12 @@ def main():
         except Exception as e:
             print(f"train-step bench failed at B{tb}: "
                   f"{type(e).__name__}", file=sys.stderr)
+    # MFU estimate: fwd ~0.26 TFLOP/sample (30 S4 convs at 8n(Rc+S)/ch +
+    # 1x1 mixes, d128/L16000); train step ~ fwd * 4 (bwd ~2x fwd + remat
+    # recompute ~1x); v5e bf16 peak 197 TFLOP/s
+    mfu = None
+    if steps_per_sec:
+        mfu = round(steps_per_sec * train_batch * 0.26 * 4 / 197.0, 4)
     result = {
         "metric": "sec of 16kHz audio generated /sec/chip at T=200 "
                   "(sashimi d128 SC09)",

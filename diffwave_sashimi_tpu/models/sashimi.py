@@ -230,7 +230,10 @@ class _ScanBlock(nn.Module):
 
 
 def _make_stack(n: int, remat: bool, **cfg):
-    cls = nn.remat(_ScanBlock) if remat else _ScanBlock
+    # static_argnums: `train` (index 6 counting the module instance as 0)
+    # must stay a Python bool under jax.checkpoint — it selects code paths
+    # (fused-GELU vs plain conv, dropout) inside S4.
+    cls = nn.remat(_ScanBlock, static_argnums=(6,)) if remat else _ScanBlock
     scan = nn.scan(
         cls,
         variable_axes={"params": 0},
@@ -311,7 +314,8 @@ class Sashimi(nn.Module):
                     consume_skip=self.unet, name=f"u{si}_blocks", **bkw))
             self.u_stacks, self.u_pools = u_stacks, u_pools
         else:
-            Block = nn.remat(DiffWaveBlock) if self.remat else DiffWaveBlock
+            Block = (nn.remat(DiffWaveBlock, static_argnums=(5,))
+                     if self.remat else DiffWaveBlock)
             d_mods, d_kinds = [], []
             for si, p in enumerate(self.pool):
                 if self.unet:
@@ -536,18 +540,18 @@ class Sashimi(nn.Module):
         for mod, kind in zip(self.d_mods, self.d_kinds):
             outputs.append(x)
             if kind == "block":
-                x = mod(x, embed, mel_spec, kernel=k(mod), train=train)
+                x = mod(x, embed, mel_spec, k(mod), train)
             else:
                 x = mod(x)
 
         outputs.append(x)
         for mod in self.c_mods:
-            x = mod(x, embed, mel_spec, kernel=k(mod), train=train)
+            x = mod(x, embed, mel_spec, k(mod), train)
         x = x + outputs.pop()
 
         for mod, kind in zip(self.u_mods, self.u_kinds):
             if kind == "block":
-                x = mod(x, embed, mel_spec, kernel=k(mod), train=train)
+                x = mod(x, embed, mel_spec, k(mod), train)
                 if self.unet:
                     x = x + outputs.pop()
             else:

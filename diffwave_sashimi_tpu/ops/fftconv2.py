@@ -79,6 +79,7 @@ class Layout(NamedTuple):
     L: int      # valid sample count (t < L)
     HB: int     # channels per kernel program
     bf16: bool = False  # bf16 in-kernel temporaries (halves VMEM)
+    BB: int = 1  # batch items per program (independent chains -> ILP)
 
     @property
     def Lc(self) -> int:
@@ -91,7 +92,8 @@ class Layout(NamedTuple):
 
 
 def choose_layout(L: int, n: int, H: int, R: Optional[int] = None,
-                  HB: Optional[int] = None, bf16: bool = False) -> Layout:
+                  HB: Optional[int] = None, bf16: bool = False,
+                  BB: int = 1) -> Layout:
     """Pick (R, S, Rc, HB) for a tier.  Total matmul cost scales as
     ~8*n*(Rc + S) per channel with Rc ~= L/S, so S ~ sqrt(L) minimizes
     FLOPs; lane dims (R, Rc) want to be multiples of 128.
@@ -120,21 +122,23 @@ def choose_layout(L: int, n: int, H: int, R: Optional[int] = None,
         itm = 2 if bf16 else 4
 
         def frame(hb: int) -> int:
-            io = 4 * S * hb * Rc * itm          # in+out, double-buffered
+            io = 4 * S * hb * Rc * itm * BB     # in+out, double-buffered
             kf = 2 * Q * hb * R * 4             # spectrum pair (f32)
-            tmps = 6 * S * hb * R * itm
+            tmps = 6 * S * hb * R * itm * BB
             consts = (4 * Rc * R + 4 * S * R + 4 * Q * S + S * Rc) * 4
             return io + kf + tmps + consts
 
         # Mosaic's true frame runs ~1.4x this estimate (extra pipeline
         # buffers); 10 MB here keeps the observed frame under the 16 MB
-        # scoped-vmem limit
+        # scoped-vmem limit.  HB*S <= 512 is the measured sweet spot on
+        # v5e (scripts/ff_bench.py): larger per-program tiles slow down
+        # even when they fit (pipeline buffering pressure).
         HB = 8
         while HB < 64 and H % (HB * 2) == 0 \
-                and frame(HB * 2) <= 10 * 2 ** 20:
+                and frame(HB * 2) <= 10 * 2 ** 20 and (HB * 2) * S <= 512:
             HB *= 2
     assert H % HB == 0, (H, HB)
-    return Layout(n=n, R=R, S=S, Rc=Rc, L=L, HB=HB, bf16=bf16)
+    return Layout(n=n, R=R, S=S, Rc=Rc, L=L, HB=HB, bf16=bf16, BB=BB)
 
 
 def to_compact(x: jnp.ndarray, lay: Layout) -> jnp.ndarray:
@@ -297,44 +301,48 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref,
         return o
 
     mask = mask_ref[:, :]                                 # (S, Rc) f32
-    x = u_ref[0, :, 0].astype(f32) * mask[:, None, :]     # (S, HB, Rc)
-    xm = x.reshape(S * HB, Rc)
-
-    # S1: contract t1 lanes
-    Ar = mm(xm, drr[:, :]).reshape(S, HB, R)
-    Ai = mm(xm, dri[:, :]).reshape(S, HB, R)
-    # twiddle (S, 1, R) broadcast over channels
-    tr = twr[:, :][:, None, :]
-    ti = twi[:, :][:, None, :]
-    Br = (Ar * tr - Ai * ti).reshape(S, HB * R)
-    Bi = (Ar * ti + Ai * tr).reshape(S, HB * R)
-
-    # S2: contract t2 rows (Q = S/2 + 1 output rows incl. Nyquist)
-    Xr = mm(dsr[:, :], Br) - mm(dsi[:, :], Bi)            # (Q, HB*R)
-    Xi = mm(dsr[:, :], Bi) + mm(dsi[:, :], Br)
-
-    # kernel multiply (c-scale folded into kf at build time)
     Kr = kfr_ref[0].reshape(Q, HB * R)
     Ki = kfi_ref[0].reshape(Q, HB * R)
-    Yr = Xr * Kr - Xi * Ki
-    Yi = Xr * Ki + Xi * Kr
-
-    # iA: contract ks rows
-    Zr = (mm(esr[:, :], Yr) - mm(esi[:, :], Yi)).reshape(S, HB, R)
-    Zi = (mm(esr[:, :], Yi) + mm(esi[:, :], Yr)).reshape(S, HB, R)
+    tr = twr[:, :][:, None, :]
+    ti = twi[:, :][:, None, :]
     tmr = twmr[:, :][:, None, :]
     tmi = twmi[:, :][:, None, :]
-    Tr = (Zr * tmr - Zi * tmi).reshape(S * HB, R)
-    Ti = (Zr * tmi + Zi * tmr).reshape(S * HB, R)
 
-    # iB: contract kr lanes, Re part, emit only t1 < Rc
-    y = mm(Tr, err[:, :]) - mm(Ti, eri[:, :])             # (S*HB, Rc)
-    y = y.reshape(S, HB, Rc)
+    # lay.BB > 1 unrolls independent per-batch-item chains so the
+    # scheduler can overlap one chain's VPU stages with another's MXU time
+    for bb in range(lay.BB):
+        x = u_ref[bb, :, 0].astype(f32) * mask[:, None, :]  # (S, HB, Rc)
+        xm = x.reshape(S * HB, Rc)
 
-    if post == "gelu_d":
-        y = y + d_ref[0][None, :, :] * x                  # + D * u skip
-        y = _gelu_exact(y)
-    out_ref[0, :, 0] = (y * mask[:, None, :]).astype(out_ref.dtype)
+        # S1: contract t1 lanes
+        Ar = mm(xm, drr[:, :]).reshape(S, HB, R)
+        Ai = mm(xm, dri[:, :]).reshape(S, HB, R)
+        # twiddle (S, 1, R) broadcast over channels
+        Br = (Ar * tr - Ai * ti).reshape(S, HB * R)
+        Bi = (Ar * ti + Ai * tr).reshape(S, HB * R)
+
+        # S2: contract t2 rows (Q = S/2 + 1 output rows incl. Nyquist)
+        Xr = mm(dsr[:, :], Br) - mm(dsi[:, :], Bi)        # (Q, HB*R)
+        Xi = mm(dsr[:, :], Bi) + mm(dsi[:, :], Br)
+
+        # kernel multiply (c-scale folded into kf at build time)
+        Yr = Xr * Kr - Xi * Ki
+        Yi = Xr * Ki + Xi * Kr
+
+        # iA: contract ks rows
+        Zr = (mm(esr[:, :], Yr) - mm(esi[:, :], Yi)).reshape(S, HB, R)
+        Zi = (mm(esr[:, :], Yi) + mm(esi[:, :], Yr)).reshape(S, HB, R)
+        Tr = (Zr * tmr - Zi * tmi).reshape(S * HB, R)
+        Ti = (Zr * tmi + Zi * tmr).reshape(S * HB, R)
+
+        # iB: contract kr lanes, Re part, emit only t1 < Rc
+        y = mm(Tr, err[:, :]) - mm(Ti, eri[:, :])         # (S*HB, Rc)
+        y = y.reshape(S, HB, Rc)
+
+        if post == "gelu_d":
+            y = y + d_ref[0][None, :, :] * x              # + D * u skip
+            y = _gelu_exact(y)
+        out_ref[bb, :, 0] = (y * mask[:, None, :]).astype(out_ref.dtype)
 
 
 def _conv2_impl(u: jnp.ndarray, kfr: jnp.ndarray, kfi: jnp.ndarray,
@@ -360,15 +368,17 @@ def _conv2_impl(u: jnp.ndarray, kfr: jnp.ndarray, kfi: jnp.ndarray,
                      memory_space=pltpu.VMEM)
         for a in const_arrays]
 
-    # grid (G, B): batch minor, so each group's kernel spectrum stays
-    # VMEM-resident across all B programs
+    # grid (G, B/BB): batch minor, so each group's kernel spectrum stays
+    # VMEM-resident across all batch programs
+    BB = lay.BB
+    assert B % BB == 0, (B, BB)
     flops_mm = 2 * (2 * S * Rc * R + 4 * Q * S * R
                     + 4 * S * Q * R + 2 * S * R * Rc) * HB
     out = pl.pallas_call(
         functools.partial(_kernel, lay=lay, fast=fast, post=post),
-        grid=(G, B),
+        grid=(G, B // BB),
         in_specs=[
-            pl.BlockSpec((1, S, 1, HB, Rc), lambda g, b: (b, 0, g, 0, 0),
+            pl.BlockSpec((BB, S, 1, HB, Rc), lambda g, b: (b, 0, g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Q, HB, R), lambda g, b: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -377,7 +387,8 @@ def _conv2_impl(u: jnp.ndarray, kfr: jnp.ndarray, kfi: jnp.ndarray,
             pl.BlockSpec((1, HB, 1), lambda g, b: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + const_specs,
-        out_specs=pl.BlockSpec((1, S, 1, HB, Rc), lambda g, b: (b, 0, g, 0, 0),
+        out_specs=pl.BlockSpec((BB, S, 1, HB, Rc),
+                               lambda g, b: (b, 0, g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, G, HB, Rc), out_dtype),
         cost_estimate=pl.CostEstimate(

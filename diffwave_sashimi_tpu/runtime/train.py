@@ -226,7 +226,9 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
                         save_checkpoint(ckpt_dir, n_iter, params, opt_state)
                         print(f"model at iteration {n_iter} is saved",
                               flush=True)
-                        if generate_cfg is not None:
+                        if generate_cfg is not None \
+                                and int(generate_cfg.get(
+                                    "n_samples", 0) or 0) > 0:
                             gen_kwargs = {
                                 k: v for k, v in dict(generate_cfg).items()
                                 if k not in ("ckpt_iter",)}

@@ -113,3 +113,34 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bb_sweep():
+    """BB (independent batch chains per program) sweep at model dtypes."""
+    rng = np.random.RandomState(0)
+    print("--- BB interleave sweep (bf16 + gelu_d) ---", flush=True)
+    for (H, L, n) in [(128, 16000, 32768), (256, 4000, 8192),
+                      (512, 1000, 2048)]:
+        for (HB, BB) in ((None, 1), (4, 2), (8, 2), (16, 2), (8, 4)):
+            try:
+                lay = f2.choose_layout(L, n, H, HB=HB, bf16=True, BB=BB)
+                k = jnp.asarray(rng.randn(H, n).astype(np.float32) * .02)
+                kfr, kfi = jax.jit(
+                    lambda kk, lay=lay: f2.kernel_spectrum(kk, lay))(k)
+                d = jnp.asarray(rng.randn(H).astype(np.float32))
+                u = jnp.asarray(
+                    rng.randn(B, lay.S, H, lay.Rc).astype(np.float32) * .1,
+                    jnp.bfloat16)
+
+                @jax.jit
+                def fc(u, kfr=kfr, kfi=kfi, d=d, lay=lay):
+                    return f2.fftconv2_gelu_d(u, kfr, kfi, d, lay, True)
+
+                t = slope(fc, u)
+                gfc = B * H * 8 * lay.n * (lay.Rc + lay.S) / 1e9
+                print(f"conv H={H:4d} HB={lay.HB:3d} BB={lay.BB}: "
+                      f"{t*1e3:6.2f} ms ({gfc/t/1e3:5.0f} TFLOP/s)",
+                      flush=True)
+            except Exception as e:
+                print(f"conv H={H} HB={HB} BB={BB}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:70]}", flush=True)

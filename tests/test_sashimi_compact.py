@@ -76,3 +76,29 @@ def test_compact_forward_train_grads(model_and_params):
     flat_fl, _ = jax.flatten_util.ravel_pytree(g_flat)
     np.testing.assert_allclose(np.asarray(flat_v2), np.asarray(flat_fl),
                                atol=5e-5, rtol=5e-3)
+
+@pytest.mark.parametrize("block_scan", [True, False])
+def test_remat_train_grads(block_scan):
+    """remat=True must keep `train` static under jax.checkpoint
+    (static_argnums on the nn.remat wrappers): the TPU training path runs
+    remat + v2/fact kernels + train=True, which CPU tests otherwise never
+    exercise because the auto-kernel gate is backend-conditional."""
+    model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), expand=2, ff=2,
+                    L=16000, remat=True, block_scan=block_scan)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 1, 16000), jnp.float32),
+                        jnp.zeros((1,), jnp.int32))
+    audio = jnp.ones((1, 1, 16000), jnp.float32) * 0.1
+    steps = jnp.asarray(np.array([3], np.int32))
+
+    def loss(p):
+        if block_scan:
+            k = model.apply(p, 16000, "v2", method=Sashimi.compute_kernels)
+        else:
+            k = None
+        y = model.apply(p, audio, steps, kernels=k, train=True)
+        return jnp.mean(y ** 2)
+
+    g = jax.grad(loss)(params)
+    total = jax.flatten_util.ravel_pytree(g)[0]
+    assert np.isfinite(np.asarray(total)).all()
