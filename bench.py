@@ -209,6 +209,7 @@ def main():
         "train_steps_per_sec": (round(steps_per_sec, 3)
                                 if steps_per_sec else None),
         "train_batch": (train_batch if steps_per_sec else None),
+        "train_mfu_est": mfu,
         "bench_wall_s": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
     }

@@ -398,18 +398,21 @@ class TorchConv1x1(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.w = self.param(
+            "w", torch_uniform_init(self.in_channels),
+            (self.out_channels, self.in_channels), self.param_dtype)
+        self.b = self.param("b", torch_uniform_init(self.in_channels),
+                            (self.out_channels,), self.param_dtype)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        w = self.param("w", torch_uniform_init(self.in_channels),
-                       (self.out_channels, self.in_channels), self.param_dtype)
-        b = self.param("b", torch_uniform_init(self.in_channels),
-                       (self.out_channels,), self.param_dtype)
         eq = "bscr,oc->bsor" if x.ndim == 4 else "bc...,oc->bo..."
         bshape = (1, 1, -1, 1) if x.ndim == 4 else \
             (1, -1) + (1,) * (x.ndim - 2)
-        y = jnp.einsum(eq, x.astype(self.dtype),
-                       w.astype(self.dtype), preferred_element_type=jnp.float32)
-        return (y + b.astype(jnp.float32).reshape(bshape)).astype(self.dtype)
+        y = jnp.einsum(eq, x.astype(self.dtype), self.w.astype(self.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y + self.b.astype(jnp.float32).reshape(bshape)
+                ).astype(self.dtype)
 
 
 def _act_fn(name: Optional[str]):
@@ -586,7 +589,9 @@ class S4(nn.Module):
         return y
 
     def __call__(self, u: jnp.ndarray, kernel=None, train: bool = False,
-                 rate: float = 1.0, state: Optional[jnp.ndarray] = None):
+                 rate: float = 1.0, state: Optional[jnp.ndarray] = None,
+                 residual: Optional[jnp.ndarray] = None,
+                 prologue=None):
         """u: (B, H, L) -> (B, H, L) (or (B, L, H) with transposed=False).
 
         ``kernel`` may be a time-domain kernel from :meth:`compute_kernel`
@@ -603,15 +608,34 @@ class S4(nn.Module):
         # ---- v2 compact-layout fused path (kernel = (kfr, kfi) pair) ----
         if isinstance(kernel, (tuple, list)):
             assert u.ndim == 4 and state is None and rate == 1.0
+            assert residual is None or not train, \
+                "fused residual epilogue is an eval-only path"
             kfr, kfi = kernel
             lay = self.v2_layout(self.l_max)
             assert u.shape[1] == lay.S and u.shape[3] == lay.Rc, \
                 (u.shape, lay)
             fast = fftconv_pallas.FAST["enabled"]
             if not train:
-                # conv + D-skip + exact GELU fused in-kernel
-                y = fftconv2.fftconv2_gelu_d(
-                    u, kfr, kfi, self.D[0].astype(jnp.float32), lay, fast)
+                # conv + D-skip + exact GELU fused in-kernel; with
+                # `prologue` the block head (norm1 + step bias) rides
+                # along as a per-position scale/shift + channel bias
+                if prologue is not None:
+                    a, c, bias = prologue
+                    y = fftconv2.fftconv2_ln_bias_gelu_d(
+                        u, a, c, bias, kfr, kfi,
+                        self.D[0].astype(jnp.float32), lay, fast)
+                else:
+                    y = fftconv2.fftconv2_gelu_d(
+                        u, kfr, kfi, self.D[0].astype(jnp.float32), lay,
+                        fast)
+                if residual is not None:
+                    # fused output linear + GLU + block residual in one
+                    # HBM pass (ops/chmix); v2 kernels imply the default
+                    # epilogue (postact == 'glu')
+                    from ..ops import chmix
+                    return chmix.mix_glu_res(
+                        y.astype(self.dtype), residual,
+                        self.output_linear.w, self.output_linear.b, fast)
             else:
                 y = fftconv2.fftconv2(u, kfr, kfi, lay, fast)
                 # + D*u on the channel-inner layout (channel at dim 2)

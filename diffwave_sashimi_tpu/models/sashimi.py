@@ -49,15 +49,19 @@ class TransposedLN(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.m = self.param("m", nn.initializers.zeros, (1,),
+                            self.param_dtype)
+        self.s = self.param("s", nn.initializers.ones, (1,),
+                            self.param_dtype)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        m = self.param("m", nn.initializers.zeros, (1,), self.param_dtype)
-        s = self.param("s", nn.initializers.ones, (1,), self.param_dtype)
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-2, keepdims=True)
         # torch.std_mean(unbiased=False): population std
         std = jnp.sqrt(jnp.var(x32, axis=-2, keepdims=True) + 0.0)
-        y = (s.astype(jnp.float32) / std) * (x32 - mean + m.astype(jnp.float32))
+        y = (self.s.astype(jnp.float32) / std) * (
+            x32 - mean + self.m.astype(jnp.float32))
         return y.astype(x.dtype)
 
 
@@ -154,6 +158,36 @@ class DiffWaveBlock(nn.Module):
                  kernel: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
         compact = x.ndim == 4                 # (B, S, H, Rc) channel-inner
+
+        if compact and not train and isinstance(kernel, (tuple, list)):
+            # eval fast path: the whole block runs in three fused HBM
+            # passes — norm1 + step-bias ride the conv kernel as a
+            # prologue (stats are one cheap XLA reduction), the S4 tail
+            # (output linear + GLU + residual) and norm2 + FF + residual
+            # are one chmix kernel each
+            from ..ops import chmix, fftconv_pallas
+            bias = self.fc_t(step_embed)                     # (B, H)
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=2)                     # (B, S, Rc)
+            var = jnp.var(x32, axis=2)
+            a = self.norm1.s.astype(jnp.float32) * jax.lax.rsqrt(var)
+            cshift = (self.norm1.m.astype(jnp.float32) - mean) * a
+            res = x
+            if mel_spec is not None:
+                assert not self.unconditional
+                from ..ops import fftconv2
+                lay = self.s4.v2_layout(self.L)
+                mel = self.mel_upsampler(mel_spec, lay.L)
+                mel = fftconv2.to_compact(mel, lay).astype(x.dtype)
+                res = res + self.mel_conv(mel)
+            x = self.s4(x, kernel=kernel, train=train, residual=res,
+                        prologue=(a, cshift, bias))
+            fast = fftconv_pallas.FAST["enabled"]
+            return chmix.ln_ff_res(
+                x, self.norm2.m, self.norm2.s,
+                self.ff1.effective_weight()[:, :, 0], self.ff1.b,
+                self.ff2.effective_weight()[:, :, 0], self.ff2.b, fast)
+
         y = self.norm1(x)
         bias = self.fc_t(step_embed)
         y = y + (bias[:, None, :, None] if compact else bias[:, :, None])

@@ -65,27 +65,35 @@ class WNConv1d(nn.Module):
     dtype: Dtype = jnp.float32        # activation/compute dtype
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         fan_in = self.in_channels * self.kernel_size
-        v = self.param(
+        self.v = self.param(
             "v", torch_uniform_init(fan_in),
             (self.out_channels, self.in_channels, self.kernel_size),
             self.param_dtype)
-        g = self.param(
+        self.g = self.param(
             "g",
-            lambda rng, shape: jnp.sqrt(
-                jnp.sum(jnp.square(v), axis=(1, 2))).astype(self.param_dtype),
+            lambda rng, shape: jnp.sqrt(jnp.sum(
+                jnp.square(self.v), axis=(1, 2))).astype(self.param_dtype),
             (self.out_channels,))
-        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(1, 2), keepdims=True))
-        w = (g[:, None, None] / norm) * v  # (O, I, K)
+        if self.use_bias:
+            self.b = self.param("b", torch_uniform_init(fan_in),
+                                (self.out_channels,), self.param_dtype)
 
+    def effective_weight(self) -> jnp.ndarray:
+        """Materialized weight-normed W = g * v / ||v||, shape (O, I, K).
+        Exposed so fused kernels (ops/chmix) can consume the weights
+        without routing activations through this module."""
+        norm = jnp.sqrt(jnp.sum(jnp.square(self.v), axis=(1, 2),
+                                keepdims=True))
+        return (self.g[:, None, None] / norm) * self.v
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.effective_weight()
         y = conv1d_ncl(x.astype(self.dtype), w.astype(self.dtype),
                        dilation=self.dilation)
         if self.use_bias:
-            b = self.param("b", torch_uniform_init(fan_in),
-                           (self.out_channels,), self.param_dtype)
-            y = y + b.astype(self.dtype).reshape(_bshape(x.ndim))
+            y = y + self.b.astype(self.dtype).reshape(_bshape(x.ndim))
         return y
 
 

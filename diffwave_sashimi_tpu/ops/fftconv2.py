@@ -176,6 +176,28 @@ def _consts(lay: Layout):
     # valid-sample mask in (t2, t1) coordinates: t = t1*S + t2 < L
     mask = (t1[None, :] * S + t2[:, None] < L).astype(np.float32)  # (S, Rc)
     f32 = np.float32
+
+    # --- packed middle-stage factors -------------------------------------
+    # The Q = S/2 + 1 spectrum rows make the middle matmuls M- (fwd) or
+    # K- (inverse) padded to the next 128 tile, wasting ~half the MXU time.
+    # Packing real/imag into stacked row blocks of Q2 = S/2 rows each gives
+    # exact 2^k tiles:  [Xr; Xi] = DsP (S, 2S) @ [Br; Bi]  and
+    # [Zr; Zi] = EsP (2S, S) @ [Yr; Yi] + AltP (2S, 8) @ Ynyq, with the
+    # Nyquist row (ks = S/2) handled by the rank-1 Alt matmuls: its DFT and
+    # iDFT factors are exactly (-1)^{t2} (real), its true bin (kr = 0) has a
+    # zero imaginary part for real input, and its kr > 0 aliases are killed
+    # by the c-scale mask folded into the kernel spectrum — so dropping its
+    # imag chain is exact, not an approximation.
+    Q2 = S // 2
+    Dsr2, Dsi2 = Ds.real[:Q2], Ds.imag[:Q2]              # (Q2, S)
+    DsP = np.block([[Dsr2, -Dsi2], [Dsi2, Dsr2]])        # (2*Q2, 2*S)
+    Esr2, Esi2 = Es.real[:, :Q2], Es.imag[:, :Q2]        # (S, Q2)
+    EsP = np.block([[Esr2, -Esi2], [Esi2, Esr2]])        # (2*S, 2*Q2)
+    alt = ((-1.0) ** t2).astype(f32)                     # (S,)
+    Alt8 = np.zeros((8, S), f32)
+    Alt8[0] = alt                                        # X_nyq = Alt8 @ Br
+    AltP = np.zeros((2 * S, 8), f32)
+    AltP[:S, 0] = alt                                    # Zr += alt * Y_nyq
     return dict(
         Drr=Dr.real.astype(f32), Dri=Dr.imag.astype(f32),
         twr=tw.real.astype(f32), twi=tw.imag.astype(f32),
@@ -183,6 +205,7 @@ def _consts(lay: Layout):
         Esr=Es.real.astype(f32), Esi=Es.imag.astype(f32),
         twmr=twm.real.astype(f32), twmi=twm.imag.astype(f32),
         Err=Er.real.astype(f32), Eri=Er.imag.astype(f32),
+        DsP=DsP.astype(f32), EsP=EsP.astype(f32), Alt8=Alt8, AltP=AltP,
         mask=mask)
 
 
@@ -221,9 +244,11 @@ def kernel_spectrum(k_time: jnp.ndarray, lay: Layout) -> tuple:
 
 
 def conv2_ref(xc: jnp.ndarray, kfr: jnp.ndarray, kfi: jnp.ndarray,
-              lay: Layout) -> jnp.ndarray:
+              lay: Layout, fast: bool = False) -> jnp.ndarray:
     """Pure-XLA reference of the exact kernel math (tests, CPU fallback,
     and the route for kernel-spectrum gradients in the custom VJP).
+    ``fast`` drops the einsums to default (bf16 MXU) precision — used by
+    the training backward's dkf route when the fast path is on.
 
     xc: (B, S, H, Rc) channel-inner compact layout.
     """
@@ -231,7 +256,8 @@ def conv2_ref(xc: jnp.ndarray, kfr: jnp.ndarray, kfi: jnp.ndarray,
     S, R, Rc, HB, Q = lay.S, lay.R, lay.Rc, lay.HB, lay.Q
     B, _, H, _ = xc.shape
     x = xc.astype(jnp.float32) * c["mask"][None, :, None, :]
-    kw = dict(precision=jax.lax.Precision.HIGHEST,
+    kw = dict(precision=(jax.lax.Precision.DEFAULT if fast
+                         else jax.lax.Precision.HIGHEST),
               preferred_element_type=jnp.float32)
     Ar = jnp.einsum("bshr,rk->bshk", x, c["Drr"], **kw)
     Ai = jnp.einsum("bshr,rk->bshk", x, c["Dri"], **kw)
@@ -278,17 +304,23 @@ def _gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * x * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
-def _kernel(u_ref, kfr_ref, kfi_ref, d_ref,
-            drr, dri, twr, twi, dsr, dsi, esr, esi, twmr, twmi, err, eri,
-            mask_ref, out_ref, *,
-            lay: Layout, fast: bool, post: str):
+def _kernel(u_ref, kfr_ref, kfi_ref, d_ref, *rest,
+            lay: Layout, fast: bool, post: str, pre: bool = False):
     """One (channel-group, batch) program; see module docstring for the
     stage algebra.  post: 'none' | 'gelu_d' (fused D-skip + erf GELU).
+    pre=True adds a channel-LayerNorm + per-channel-bias prologue
+    (scale a, shift c per position, bias per channel) so norm1 + the
+    diffusion-step bias of the DiffWave block cost zero extra HBM passes.
 
     Every inter-stage view is a reshape of sublane-side dims (free); the
     only VPU work is twiddles, the kernel multiply, masking, and the
-    optional epilogue.
+    optional pro/epilogue.
     """
+    if pre:
+        a_ref, c_ref, bias_ref = rest[:3]
+        rest = rest[3:]
+    (drr, dri, twr, twi, dsp, esp, alt8, altp, twmr, twmi, err, eri,
+     mask_ref, out_ref) = rest
     S, R, Rc, HB, Q = lay.S, lay.R, lay.Rc, lay.HB, lay.Q
     f32 = jnp.float32
     tmp = jnp.bfloat16 if (fast and lay.bf16) else f32
@@ -301,8 +333,11 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref,
         return o
 
     mask = mask_ref[:, :]                                 # (S, Rc) f32
-    Kr = kfr_ref[0].reshape(Q, HB * R)
-    Ki = kfi_ref[0].reshape(Q, HB * R)
+    Q2 = S // 2
+    Kfull = kfr_ref[0].reshape(Q, HB * R)
+    Kr = Kfull[:Q2]                                       # regular rows
+    Ki = kfi_ref[0].reshape(Q, HB * R)[:Q2]
+    Kn = Kfull[Q2:]                                       # (1, N) Nyquist
     tr = twr[:, :][:, None, :]
     ti = twi[:, :][:, None, :]
     tmr = twmr[:, :][:, None, :]
@@ -311,7 +346,11 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref,
     # lay.BB > 1 unrolls independent per-batch-item chains so the
     # scheduler can overlap one chain's VPU stages with another's MXU time
     for bb in range(lay.BB):
-        x = u_ref[bb, :, 0].astype(f32) * mask[:, None, :]  # (S, HB, Rc)
+        x = u_ref[bb, :, 0].astype(f32)                   # (S, HB, Rc)
+        if pre:
+            x = (x * a_ref[bb][:, None, :] + c_ref[bb][:, None, :]
+                 + bias_ref[bb, 0][None, :, :])
+        x = x * mask[:, None, :]
         xm = x.reshape(S * HB, Rc)
 
         # S1: contract t1 lanes
@@ -321,17 +360,22 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref,
         Br = (Ar * tr - Ai * ti).reshape(S, HB * R)
         Bi = (Ar * ti + Ai * tr).reshape(S, HB * R)
 
-        # S2: contract t2 rows (Q = S/2 + 1 output rows incl. Nyquist)
-        Xr = mm(dsr[:, :], Br) - mm(dsi[:, :], Bi)        # (Q, HB*R)
-        Xi = mm(dsr[:, :], Bi) + mm(dsi[:, :], Br)
+        # S2 packed: [Xr; Xi] = DsP @ [Br; Bi], one full-tile matmul
+        # (see _consts: Q2-row blocks tile exactly; Nyquist via Alt8)
+        BrBi = jnp.concatenate([Br, Bi], axis=0)          # (2S, N)
+        Xp = mm(dsp[:, :], BrBi)                          # (2*Q2, N)
+        Xnyq = mm(alt8[:, :], Br)                         # (8, N), row 0
 
         # kernel multiply (c-scale folded into kf at build time)
-        Yr = Xr * Kr - Xi * Ki
-        Yi = Xr * Ki + Xi * Kr
+        Xr, Xi = Xp[:Q2], Xp[Q2:]
+        Yp = jnp.concatenate([Xr * Kr - Xi * Ki,
+                              Xr * Ki + Xi * Kr], axis=0)  # (S, N)
+        Ynyq = Xnyq * Kn                                  # (8, N), row 0
 
-        # iA: contract ks rows
-        Zr = (mm(esr[:, :], Yr) - mm(esi[:, :], Yi)).reshape(S, HB, R)
-        Zi = (mm(esr[:, :], Yi) + mm(esi[:, :], Yr)).reshape(S, HB, R)
+        # iA packed: [Zr; Zi] = EsP @ Yp + AltP @ Ynyq
+        Zp = mm(esp[:, :], Yp) + mm(altp[:, :], Ynyq)     # (2S, N)
+        Zr = Zp[:S].reshape(S, HB, R)
+        Zi = Zp[S:].reshape(S, HB, R)
         Tr = (Zr * tmr - Zi * tmi).reshape(S * HB, R)
         Ti = (Zr * tmi + Zi * tmr).reshape(S * HB, R)
 
@@ -348,8 +392,10 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref,
 def _conv2_impl(u: jnp.ndarray, kfr: jnp.ndarray, kfi: jnp.ndarray,
                 d: Optional[jnp.ndarray],
                 lay: Layout, fast: bool, post: str,
-                out_dtype=None) -> jnp.ndarray:
-    """u: (B, S, H, Rc); kf*: (G, Q, HB, R); d: (G, HB, 1) or None."""
+                out_dtype=None, prologue=None) -> jnp.ndarray:
+    """u: (B, S, H, Rc); kf*: (G, Q, HB, R); d: (G, HB, 1) or None.
+    prologue: optional (a, c, bias) with a, c (B, S, Rc) f32 position
+    scale/shift and bias (B, H) f32 per-channel add (see _kernel pre)."""
     S, R, Rc, HB, Q = lay.S, lay.R, lay.Rc, lay.HB, lay.Q
     B, _, H, _ = u.shape
     assert u.shape[1] == S and u.shape[3] == Rc, (u.shape, lay)
@@ -360,13 +406,27 @@ def _conv2_impl(u: jnp.ndarray, kfr: jnp.ndarray, kfi: jnp.ndarray,
         d = jnp.zeros((G, HB, 1), jnp.float32)
 
     u5 = u.reshape(B, S, G, HB, Rc)
-    const_names = ["Drr", "Dri", "twr", "twi", "Dsr", "Dsi", "Esr", "Esi",
+    const_names = ["Drr", "Dri", "twr", "twi", "DsP", "EsP", "Alt8", "AltP",
                    "twmr", "twmi", "Err", "Eri", "mask"]
     const_arrays = [jnp.asarray(c[k]) for k in const_names]
     const_specs = [
         pl.BlockSpec(a.shape, lambda g, b: (0,) * a.ndim,
                      memory_space=pltpu.VMEM)
         for a in const_arrays]
+
+    pre_arrays, pre_specs = [], []
+    if prologue is not None:
+        pa, pc, pbias = prologue
+        pre_arrays = [pa.astype(jnp.float32), pc.astype(jnp.float32),
+                      pbias.astype(jnp.float32).reshape(B, G, HB, 1)]
+        pre_specs = [
+            pl.BlockSpec((lay.BB, S, Rc), lambda g, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lay.BB, S, Rc), lambda g, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lay.BB, 1, HB, 1), lambda g, b: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
 
     # grid (G, B/BB): batch minor, so each group's kernel spectrum stays
     # VMEM-resident across all batch programs
@@ -375,7 +435,8 @@ def _conv2_impl(u: jnp.ndarray, kfr: jnp.ndarray, kfi: jnp.ndarray,
     flops_mm = 2 * (2 * S * Rc * R + 4 * Q * S * R
                     + 4 * S * Q * R + 2 * S * R * Rc) * HB
     out = pl.pallas_call(
-        functools.partial(_kernel, lay=lay, fast=fast, post=post),
+        functools.partial(_kernel, lay=lay, fast=fast, post=post,
+                          pre=prologue is not None),
         grid=(G, B // BB),
         in_specs=[
             pl.BlockSpec((BB, S, 1, HB, Rc), lambda g, b: (b, 0, g, 0, 0),
@@ -386,7 +447,7 @@ def _conv2_impl(u: jnp.ndarray, kfr: jnp.ndarray, kfi: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, HB, 1), lambda g, b: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + const_specs,
+        ] + pre_specs + const_specs,
         out_specs=pl.BlockSpec((BB, S, 1, HB, Rc),
                                lambda g, b: (b, 0, g, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -396,7 +457,7 @@ def _conv2_impl(u: jnp.ndarray, kfr: jnp.ndarray, kfi: jnp.ndarray,
             bytes_accessed=u.size * 2 * u.dtype.itemsize + kfr.size * 8,
             transcendentals=(u.size if post == "gelu_d" else 0)),
         interpret=_interpret(),
-    )(u5, kfr, kfi, d, *const_arrays)
+    )(u5, kfr, kfi, d, *pre_arrays, *const_arrays)
     return out.reshape(B, S, H, Rc)
 
 
@@ -422,8 +483,10 @@ def _bwd(lay, fast, res, g):
     # d/du: adjoint of mask.Conv_k.mask = mask.Conv_{k reversed}.mask,
     # i.e. the SAME op with the conjugate spectrum (k is real).
     du = fftconv2(g, kfr, -kfi, lay, fast)
-    # d/dkf via the XLA reference (same math, autodiffed)
-    _, vjp_k = jax.vjp(lambda a, b: conv2_ref(u, a, b, lay), kfr, kfi)
+    # d/dkf via the XLA reference (same math, autodiffed; fast => bf16 MXU
+    # einsums — the kernel-spectrum grad inherits the fast path's
+    # numerics class)
+    _, vjp_k = jax.vjp(lambda a, b: conv2_ref(u, a, b, lay, fast), kfr, kfi)
     dkfr, dkfi = vjp_k(g.astype(u.dtype))
     return du.astype(u.dtype), dkfr, dkfi
 
@@ -448,3 +511,27 @@ def fftconv2_gelu_d(u, kfr, kfi, d, lay: Layout, fast: bool = True):
     return _conv2_impl(u, kfr, kfi, d.reshape(d.shape[0] // lay.HB,
                                               lay.HB, 1),
                        lay, fast, "gelu_d")
+
+
+def fftconv2_ln_bias_gelu_d(u, a, c, bias, kfr, kfi, d, lay: Layout,
+                            fast: bool = True):
+    """Sampling fast path with the DiffWave block HEAD folded in too:
+    channel LayerNorm (as position scale/shift a, c — stats are a cheap
+    XLA reduction) + diffusion-step bias + conv + D*u + exact GELU, one
+    HBM read and write (reference models/sashimi.py:111-116 head +
+    models/s4.py:1403-1427 conv path).  Eval-only (no VJP).
+
+    u: (B, S, H, Rc) RAW block input; a, c: (B, S, Rc) f32; bias: (B, H).
+    """
+    if _interpret():
+        m = _consts(lay)["mask"][None, :, None, :]
+        xn = (u.astype(jnp.float32) * a[:, :, None, :].astype(jnp.float32)
+              + c[:, :, None, :].astype(jnp.float32)
+              + bias[:, None, :, None].astype(jnp.float32))
+        y = conv2_ref(xn, kfr, kfi, lay)
+        y = y + d.reshape(1, 1, -1, 1) * (xn * m)
+        return (jax.nn.gelu(y.astype(jnp.float32), approximate=False)
+                * m).astype(u.dtype)
+    return _conv2_impl(u, kfr, kfi, d.reshape(d.shape[0] // lay.HB,
+                                              lay.HB, 1),
+                       lay, fast, "gelu_d", prologue=(a, c, bias))
