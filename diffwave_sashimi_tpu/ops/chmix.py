@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fftconv2 import _gelu_exact, _interpret
+from .fftconv2 import _gelu_exact, _gelu_fast, _interpret
 
 
 def _choose_st(S: int, H: int, Rc: int) -> int:
@@ -144,7 +144,8 @@ def _ff_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ms_ref, o_ref, *,
     # TransposedLN: (s / std) * (x - mean + m), population std, no eps
     xn = (s * jax.lax.rsqrt(var)) * (xt - mean + m)
     z = _bmm(w1_ref[...], xn, tmp)                   # (S_t, 2H, Rc)
-    z = _gelu_exact(z + b1_ref[...][None])
+    z = z + b1_ref[...][None]
+    z = _gelu_fast(z) if fast else _gelu_exact(z)
     o = _bmm(w2_ref[...], z, tmp)                    # (S_t, H, Rc)
     o = o + b2_ref[...][None]
     o_ref[0] = (xt + o).astype(o_ref.dtype)

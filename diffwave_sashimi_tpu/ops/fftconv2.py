@@ -130,12 +130,13 @@ def choose_layout(L: int, n: int, H: int, R: Optional[int] = None,
 
         # Mosaic's true frame runs ~1.4x this estimate (extra pipeline
         # buffers); 10 MB here keeps the observed frame under the 16 MB
-        # scoped-vmem limit.  HB*S <= 512 is the measured sweet spot on
-        # v5e (scripts/ff_bench.py): larger per-program tiles slow down
-        # even when they fit (pipeline buffering pressure).
+        # scoped-vmem limit.  HB*S <= 2048, HB <= 32 is the measured
+        # sweet spot on v5e with the bf16 inter-stage chain
+        # (/tmp/hb_sweep.py 2026-08-17: tier1 HB=16 -21%, tier2/3 HB=32
+        # -17%/-22% vs the old HB*S <= 512 picks).
         HB = 8
-        while HB < 64 and H % (HB * 2) == 0 \
-                and frame(HB * 2) <= 10 * 2 ** 20 and (HB * 2) * S <= 512:
+        while HB < 32 and H % (HB * 2) == 0 \
+                and frame(HB * 2) <= 12 * 2 ** 20 and (HB * 2) * S <= 2048:
             HB *= 2
     assert H % HB == 0, (H, HB)
     return Layout(n=n, R=R, S=S, Rc=Rc, L=L, HB=HB, bf16=bf16, BB=BB)
@@ -206,6 +207,11 @@ def _consts(lay: Layout):
         twmr=twm.real.astype(f32), twmi=twm.imag.astype(f32),
         Err=Er.real.astype(f32), Eri=Er.imag.astype(f32),
         DsP=DsP.astype(f32), EsP=EsP.astype(f32), Alt8=Alt8, AltP=AltP,
+        # transposed factors for the adjoint chain of the dkf kernel
+        ErrT=np.ascontiguousarray(Er.real.T).astype(f32),
+        EriT=np.ascontiguousarray(Er.imag.T).astype(f32),
+        EsPT=np.ascontiguousarray(EsP.T).astype(f32),
+        AltPT=np.ascontiguousarray(AltP.T).astype(f32),
         mask=mask)
 
 
@@ -304,6 +310,27 @@ def _gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * x * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
+# Weighted least-squares fit of gelu(x) - x/2 (an even function) as a
+# degree-7 polynomial in x^2 on [-4, 4]; |err| < 1.3e-3 everywhere with
+# the tails clamped (gelu(x>4) ~ x, |gelu(x<-4)| < 1.4e-4).  ~12 VPU ops
+# vs ~25 for the exp-based erf — the exact-erf GELU was a measured ~20%
+# of the whole sampling step (scripts/step_ablation.py).
+_GELU_C = (3.98530402e-01, -6.54241398e-02, 9.14217304e-03,
+           -8.87377753e-04, 5.52706534e-05, -1.95562042e-06,
+           2.95654090e-08)
+
+
+def _gelu_fast(x: jnp.ndarray) -> jnp.ndarray:
+    """Polynomial GELU for the fast (bf16-class) path; |err| < 1.3e-3."""
+    xc = jnp.clip(x, -4.0, 4.0)
+    x2 = xc * xc
+    p = jnp.asarray(_GELU_C[-1], x.dtype)
+    for c in _GELU_C[-2::-1]:
+        p = p * x2 + jnp.asarray(c, x.dtype)
+    y = 0.5 * xc + x2 * p
+    return jnp.where(x > 4.0, x, y)
+
+
 def _kernel(u_ref, kfr_ref, kfi_ref, d_ref, *rest,
             lay: Layout, fast: bool, post: str, pre: bool = False):
     """One (channel-group, batch) program; see module docstring for the
@@ -328,20 +355,25 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref, *rest,
             else jax.lax.Precision.HIGHEST)
 
     def mm(a, b):
+        # the whole inter-stage chain runs in `tmp` (bf16 on the fast
+        # path): Mosaic requires a 32-bit matmul accumulator, so outputs
+        # round to bf16 right after the dot; keeping the twiddle/multiply
+        # tensors bf16 halves the VPU work that is ~half of this kernel's
+        # time (scripts/step_ablation.py)
         o = jnp.dot(a.astype(tmp), b.astype(tmp),
                     preferred_element_type=f32, precision=prec)
-        return o
+        return o.astype(tmp)
 
-    mask = mask_ref[:, :]                                 # (S, Rc) f32
+    mask = mask_ref[:, :].astype(tmp)                     # (S, Rc)
     Q2 = S // 2
-    Kfull = kfr_ref[0].reshape(Q, HB * R)
+    Kfull = kfr_ref[0].reshape(Q, HB * R).astype(tmp)
     Kr = Kfull[:Q2]                                       # regular rows
-    Ki = kfi_ref[0].reshape(Q, HB * R)[:Q2]
+    Ki = kfi_ref[0].reshape(Q, HB * R)[:Q2].astype(tmp)
     Kn = Kfull[Q2:]                                       # (1, N) Nyquist
-    tr = twr[:, :][:, None, :]
-    ti = twi[:, :][:, None, :]
-    tmr = twmr[:, :][:, None, :]
-    tmi = twmi[:, :][:, None, :]
+    tr = twr[:, :][:, None, :].astype(tmp)
+    ti = twi[:, :][:, None, :].astype(tmp)
+    tmr = twmr[:, :][:, None, :].astype(tmp)
+    tmi = twmi[:, :][:, None, :].astype(tmp)
 
     # lay.BB > 1 unrolls independent per-batch-item chains so the
     # scheduler can overlap one chain's VPU stages with another's MXU time
@@ -350,7 +382,7 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref, *rest,
         if pre:
             x = (x * a_ref[bb][:, None, :] + c_ref[bb][:, None, :]
                  + bias_ref[bb, 0][None, :, :])
-        x = x * mask[:, None, :]
+        x = x.astype(tmp) * mask[:, None, :]
         xm = x.reshape(S * HB, Rc)
 
         # S1: contract t1 lanes
@@ -385,7 +417,7 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref, *rest,
 
         if post == "gelu_d":
             y = y + d_ref[0][None, :, :] * x              # + D * u skip
-            y = _gelu_exact(y)
+            y = _gelu_fast(y) if fast else _gelu_exact(y)
         out_ref[bb, :, 0] = (y * mask[:, None, :]).astype(out_ref.dtype)
 
 
@@ -483,15 +515,133 @@ def _bwd(lay, fast, res, g):
     # d/du: adjoint of mask.Conv_k.mask = mask.Conv_{k reversed}.mask,
     # i.e. the SAME op with the conjugate spectrum (k is real).
     du = fftconv2(g, kfr, -kfi, lay, fast)
-    # d/dkf via the XLA reference (same math, autodiffed; fast => bf16 MXU
-    # einsums — the kernel-spectrum grad inherits the fast path's
-    # numerics class)
-    _, vjp_k = jax.vjp(lambda a, b: conv2_ref(u, a, b, lay, fast), kfr, kfi)
-    dkfr, dkfi = vjp_k(g.astype(u.dtype))
+    if _interpret():
+        # d/dkf via the XLA reference (same math, autodiffed)
+        _, vjp_k = jax.vjp(lambda a, b: conv2_ref(u, a, b, lay, fast),
+                           kfr, kfi)
+        dkfr, dkfi = vjp_k(g.astype(u.dtype))
+    else:
+        # fused spectrum-gradient kernel: batch-accumulated in VMEM
+        dkfr, dkfi = fftconv2_dkf(u, g.astype(u.dtype), lay, fast)
     return du.astype(u.dtype), dkfr, dkfi
 
 
 fftconv2.defvjp(_fwd, _bwd)
+
+
+def _dkf_kernel(u_ref, g_ref, drr, dri, twr, twi, dsp, alt8,
+                errt, erit, espt, altpt, twmr, twmi, mask_ref,
+                dkr_ref, dki_ref, *, lay: Layout, fast: bool):
+    """Kernel-spectrum gradient, one (group, batch) program, accumulated
+    over the batch grid dimension.
+
+    dK = sum_b X_b (*) conj-combine G_b where X = packed forward spectrum
+    of the masked input and (Gr, Gi) = the ADJOINT of the inverse chain
+    applied to the masked output cotangent — i.e. the forward chain with
+    transposed factor matrices and conjugate twiddles.  All matrices are
+    the same power-of-two tiles as the forward kernel.
+    """
+    S, R, Rc, HB = lay.S, lay.R, lay.Rc, lay.HB
+    Q2 = S // 2
+    f32 = jnp.float32
+    tmp = jnp.bfloat16 if (fast and lay.bf16) else f32
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+
+    def mm(a, b):
+        return jnp.dot(a.astype(tmp), b.astype(tmp),
+                       preferred_element_type=f32, precision=prec)
+
+    mask = mask_ref[:, :]
+    tr = twr[:, :][:, None, :]
+    ti = twi[:, :][:, None, :]
+    tmr = twmr[:, :][:, None, :]
+    tmi = twmi[:, :][:, None, :]
+
+    # forward spectrum of u (same stages as _kernel)
+    x = u_ref[0, :, 0].astype(f32) * mask[:, None, :]
+    xm = x.reshape(S * HB, Rc)
+    Ar = mm(xm, drr[:, :]).reshape(S, HB, R)
+    Ai = mm(xm, dri[:, :]).reshape(S, HB, R)
+    Br = (Ar * tr - Ai * ti).reshape(S, HB * R)
+    Bi = (Ar * ti + Ai * tr).reshape(S, HB * R)
+    Xp = mm(dsp[:, :], jnp.concatenate([Br, Bi], axis=0))   # (S, N)
+    Xnyq = mm(alt8[:, :], Br)                               # (8, N)
+    Xr, Xi = Xp[:Q2], Xp[Q2:]
+
+    # adjoint of the inverse chain applied to g
+    gm = (g_ref[0, :, 0].astype(f32) * mask[:, None, :]).reshape(
+        S * HB, Rc)
+    dTr = mm(gm, errt[:, :]).reshape(S, HB, R)              # g @ Err^T
+    dTi = -mm(gm, erit[:, :]).reshape(S, HB, R)
+    dZr = (dTr * tmr + dTi * tmi).reshape(S, HB * R)
+    dZi = (-dTr * tmi + dTi * tmr).reshape(S, HB * R)
+    dZp = jnp.concatenate([dZr, dZi], axis=0)               # (2S, N)
+    dYp = mm(espt[:, :], dZp)                               # (S, N)
+    dYnyq = mm(altpt[:, :], dZp)                            # (8, N)
+    Gr, Gi = dYp[:Q2], dYp[Q2:]
+
+    dKr = Xr * Gr + Xi * Gi                                 # (Q2, N)
+    dKi = Xr * Gi - Xi * Gr
+    dKn = (Xnyq * dYnyq)[:1]                                # (1, N)
+    dKrQ = jnp.concatenate([dKr, dKn], axis=0).reshape(
+        lay.Q, HB, R)
+    dKiQ = jnp.concatenate([dKi, jnp.zeros_like(dKn)], axis=0).reshape(
+        lay.Q, HB, R)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dkr_ref[0] = dKrQ
+        dki_ref[0] = dKiQ
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        dkr_ref[0] += dKrQ
+        dki_ref[0] += dKiQ
+
+
+def fftconv2_dkf(u: jnp.ndarray, g: jnp.ndarray, lay: Layout,
+                 fast: bool = True):
+    """Fused kernel-spectrum gradient: (u, output cotangent g) ->
+    (dkfr, dkfi), each (G, Q, HB, R) f32, summed over batch in-kernel
+    (no (B, Q, H, R) spectra ever hit HBM — the XLA vjp route
+    materializes every transform intermediate).
+
+    Dead components — the kr > 0 alias lanes of the Nyquist row and the
+    whole Nyquist imaginary row — carry unspecified values: every
+    consumer reaches this through :func:`kernel_spectrum`, whose c-scale
+    fold (c = 0 above Nyquist, forced-zero Nyquist imag) kills their
+    cotangents exactly."""
+    S, R, Rc, HB, Q = lay.S, lay.R, lay.Rc, lay.HB, lay.Q
+    B, _, H, _ = u.shape
+    G = H // HB
+    c = _consts(lay)
+    const_names = ["Drr", "Dri", "twr", "twi", "DsP", "Alt8",
+                   "ErrT", "EriT", "EsPT", "AltPT", "twmr", "twmi", "mask"]
+    const_arrays = [jnp.asarray(c[k]) for k in const_names]
+    const_specs = [
+        pl.BlockSpec(a.shape, lambda gg, b: (0,) * a.ndim,
+                     memory_space=pltpu.VMEM)
+        for a in const_arrays]
+    u5 = u.reshape(B, S, G, HB, Rc)
+    g5 = g.reshape(B, S, G, HB, Rc)
+    io_spec = pl.BlockSpec((1, S, 1, HB, Rc), lambda gg, b: (b, 0, gg, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, Q, HB, R), lambda gg, b: (gg, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dkr, dki = pl.pallas_call(
+        functools.partial(_dkf_kernel, lay=lay, fast=fast),
+        grid=(G, B),
+        in_specs=[io_spec, io_spec] + const_specs,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((G, Q, HB, R), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (2 * S * Rc * R + 4 * S * S * R) * HB * G * B,
+            bytes_accessed=2 * u.size * u.dtype.itemsize,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(u5, g5, *const_arrays)
+    return dkr, dki
 
 
 def fftconv2_gelu_d(u, kfr, kfi, d, lay: Layout, fast: bool = True):

@@ -1,9 +1,11 @@
 #!/usr/bin/env python
-"""Ablation timing of the sampling step: full vs S4-convs-skipped.
+"""In-situ ablation timing of the sampling step (sashimi d128, B16).
 
-Quantifies how much of the per-step time the fused FFT convolutions account
-for (vs pointwise matmuls / LN / embedding / sampler arithmetic), to target
-round-2 optimization. Slope-timed with forced D2H (CLAUDE.md facts 5, 13).
+Times the FULL jitted step with individual fused kernels replaced by
+cheap stand-ins; the difference of whole-program times attributes the
+step budget reliably (isolated per-kernel timing through the tunnel is
+dispatch-noise-dominated — scripts/step_account.py measured a 140 ms sum
+for a 77 ms step).  Slope-timed with forced D2H (CLAUDE.md facts 5, 13).
 """
 
 import time
@@ -19,36 +21,41 @@ import jax.numpy as jnp  # noqa: E402
 
 from diffwave_sashimi_tpu.diffusion import (diffusion_schedule,  # noqa: E402
                                             make_sampling_step)
-from diffwave_sashimi_tpu.models import s4 as s4mod  # noqa: E402
 from diffwave_sashimi_tpu.models.sashimi import Sashimi  # noqa: E402
+from diffwave_sashimi_tpu.ops import chmix, fftconv2 as f2  # noqa: E402
 
 B, D, L = 16, 128, 16000
 
 
-def build_step(ablate_conv: bool, mode: str = "v2"):
+def build_step(ablate=()):
     model = Sashimi(d_model=D, n_layers=6, pool=(4, 4), expand=2, ff=2,
                     L=L, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 1, L), jnp.float32),
                                  jnp.zeros((1,), jnp.int32))
     kernels = jax.jit(lambda p: model.apply(
-        p, L, mode, method=Sashimi.compute_kernels))(params)
+        p, L, "v2", method=Sashimi.compute_kernels))(params)
     sched = diffusion_schedule(T=200, beta_0=1e-4, beta_T=0.02)
 
-    from diffwave_sashimi_tpu.ops import fftconv2 as f2
-    orig = s4mod.fftconv_fused
-    orig2, orig2g = f2.fftconv2, f2.fftconv2_gelu_d
-    if ablate_conv:
-        # identity-ish stand-ins with the same signature/shape
-        s4mod.fftconv_fused = lambda u, kf, n, Lo, fast=False: u[..., :Lo]
-        s4mod.fftconv2.fftconv2 = lambda u, a, b, lay, fast=True: u
-        s4mod.fftconv2.fftconv2_gelu_d = \
-            lambda u, a, b, d, lay, fast=True: u
+    orig = {k: getattr(chmix, k) for k in ("mix_glu_res", "ln_ff_res")}
+    orig_f2 = {k: getattr(f2, k) for k in
+               ("fftconv2_ln_bias_gelu_d", "fftconv2_gelu_d", "fftconv2")}
+    if "glu" in ablate:
+        chmix.mix_glu_res = lambda y, r, w, b, fast=True: y + r
+    if "ff" in ablate:
+        chmix.ln_ff_res = lambda x, m, s, w1, b1, w2, b2, fast=True: x
+    if "conv" in ablate:
+        # keep the prologue's inputs consumed so XLA can't DCE the stats
+        f2.fftconv2_ln_bias_gelu_d = \
+            lambda u, a, c, bias, kfr, kfi, d, lay, fast=True: \
+            (u.astype(jnp.float32) * a[:, :, None, :]
+             + c[:, :, None, :]).astype(u.dtype)
+        f2.fftconv2_gelu_d = lambda u, a, b, d, lay, fast=True: u
+        f2.fftconv2 = lambda u, a, b, lay, fast=True: u
     try:
         step = make_sampling_step(
             lambda pk, x, t, mel: model.apply(pk[0], x, t, mel, pk[1]),
             (B, 1, L), sched)
-        # trace/compile happens lazily at first call; keep patch active
         x = jnp.zeros((B, 1, L), jnp.float32)
         keys = jax.random.split(jax.random.PRNGKey(1), sched.T)
         sarr = jnp.stack([sched.alpha, sched.alpha_bar,
@@ -56,7 +63,7 @@ def build_step(ablate_conv: bool, mode: str = "v2"):
         t0 = time.time()
         out = step((params, kernels), x, None, keys, sarr, np.int32(100))
         float(out.sum())
-        print(f"  compile+first ({'ablated' if ablate_conv else 'full'}): "
+        print(f"  compile+first ({','.join(ablate) or 'full'}): "
               f"{time.time() - t0:.1f}s", flush=True)
 
         def timed(k):
@@ -68,24 +75,25 @@ def build_step(ablate_conv: bool, mode: str = "v2"):
             float(xx.sum())
             return time.time() - t0
 
-        t1, t5 = timed(1), timed(5)
-        ms = (t5 - t1) / 4 * 1000
-        return ms
+        t1, t9 = timed(2), timed(10)
+        return (t9 - t1) / 8 * 1000
     finally:
-        s4mod.fftconv_fused = orig
-        f2.fftconv2, f2.fftconv2_gelu_d = orig2, orig2g
-        s4mod.fftconv2.fftconv2 = orig2
-        s4mod.fftconv2.fftconv2_gelu_d = orig2g
+        for k, v in orig.items():
+            setattr(chmix, k, v)
+        for k, v in orig_f2.items():
+            setattr(f2, k, v)
 
 
 def main():
     print(f"device: {jax.devices()[0]}", flush=True)
-    full = build_step(False)
-    abl = build_step(True)
-    print(f"full step:        {full:8.1f} ms")
-    print(f"convs ablated:    {abl:8.1f} ms")
-    print(f"=> S4 fused convs: {full - abl:.1f} ms "
-          f"({100 * (full - abl) / full:.0f}% of step)")
+    full = build_step()
+    res = {}
+    for abl in (("conv",), ("glu",), ("ff",), ("conv", "glu", "ff")):
+        res[abl] = build_step(abl)
+    print(f"full step:          {full:8.1f} ms")
+    for abl, ms in res.items():
+        print(f"-{'+'.join(abl):14s}    {ms:8.1f} ms  "
+              f"(=> {full - ms:5.1f} ms attributed)")
 
 
 if __name__ == "__main__":

@@ -90,3 +90,34 @@ def test_conv2_gelu_d_epilogue():
     yc = f2.fftconv2_gelu_d(uc, kfr, kfi, jnp.asarray(d), lay, False)
     y = np.asarray(f2.from_compact(yc, lay, L))
     np.testing.assert_allclose(y, y_ref, atol=2e-3, rtol=1e-3)
+
+
+def test_dkf_kernel_matches_autodiff():
+    """The fused spectrum-gradient kernel (interpret mode) vs jax.vjp of
+    the XLA reference, on the live components (dead components: Nyquist
+    alias lanes / Nyquist imag row are killed by kernel_spectrum's
+    c-fold upstream)."""
+    for (L, n, H) in [(1000, 2048, 16), (500, 1024, 8)]:
+        lay = f2.choose_layout(L, n, H)
+        rng = np.random.RandomState(0)
+        B = 3
+        u = jnp.asarray(rng.randn(B, lay.S, H, lay.Rc).astype(np.float32)
+                        * 0.3)
+        k = rng.randn(H, n).astype(np.float32) * 0.3
+        kfr, kfi = f2.kernel_spectrum(jnp.asarray(k), lay)
+        g = jnp.asarray(rng.randn(B, lay.S, H, lay.Rc).astype(np.float32))
+        _, vjp_k = jax.vjp(lambda a, b: f2.conv2_ref(u, a, b, lay),
+                           kfr, kfi)
+        dr_ref, di_ref = vjp_k(g)
+        dr, di = f2.fftconv2_dkf(u, g, lay, False)
+        live = np.ones((lay.Q, 1, lay.R), bool)
+        live[lay.Q - 1, :, 1:] = False          # Nyquist alias lanes
+        scale = np.abs(np.asarray(dr_ref)).max()
+        err_r = (np.abs(np.asarray(dr) - np.asarray(dr_ref))
+                 * live[None]).max()
+        live_i = live.copy()
+        live_i[lay.Q - 1] = False               # whole Nyquist imag row
+        err_i = (np.abs(np.asarray(di) - np.asarray(di_ref))
+                 * live_i[None]).max()
+        assert err_r / scale < 1e-5, (L, err_r / scale)
+        assert err_i / scale < 1e-5, (L, err_i / scale)
