@@ -156,20 +156,31 @@ class DiffWaveBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, step_embed: jnp.ndarray,
                  mel_spec: Optional[jnp.ndarray] = None,
                  kernel: Optional[jnp.ndarray] = None,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False,
+                 stats: Optional[tuple] = None,
+                 skip: Optional[jnp.ndarray] = None,
+                 emit_stats: bool = False):
+        """Returns y, or (y, (mean, var)) of y over channels when
+        ``emit_stats`` (the stats ride the block-scan carry so the next
+        block's norm1 costs no extra HBM pass).  ``stats`` is this
+        block's input (mean, var) — only consulted on the fused eval
+        path, where the caller guarantees validity.  ``skip`` is a UNet
+        skip added AFTER the whole block (u-stages)."""
         compact = x.ndim == 4                 # (B, S, H, Rc) channel-inner
 
         if compact and not train and isinstance(kernel, (tuple, list)):
             # eval fast path: the whole block runs in three fused HBM
             # passes — norm1 + step-bias ride the conv kernel as a
-            # prologue (stats are one cheap XLA reduction), the S4 tail
-            # (output linear + GLU + residual) and norm2 + FF + residual
-            # are one chmix kernel each
+            # prologue, the S4 tail (output linear + GLU + residual) and
+            # norm2 + FF + residual + UNet-skip are one chmix kernel each
             from ..ops import chmix, fftconv_pallas
             bias = self.fc_t(step_embed)                     # (B, H)
-            x32 = x.astype(jnp.float32)
-            mean = jnp.mean(x32, axis=2)                     # (B, S, Rc)
-            var = jnp.var(x32, axis=2)
+            if stats is None:
+                x32 = x.astype(jnp.float32)
+                mean = jnp.mean(x32, axis=2)                 # (B, S, Rc)
+                var = jnp.var(x32, axis=2)
+            else:
+                mean, var = stats
             a = self.norm1.s.astype(jnp.float32) * jax.lax.rsqrt(var)
             cshift = (self.norm1.m.astype(jnp.float32) - mean) * a
             res = x
@@ -183,10 +194,15 @@ class DiffWaveBlock(nn.Module):
             x = self.s4(x, kernel=kernel, train=train, residual=res,
                         prologue=(a, cshift, bias))
             fast = fftconv_pallas.FAST["enabled"]
-            return chmix.ln_ff_res(
+            out = chmix.ln_ff_res(
                 x, self.norm2.m, self.norm2.s,
                 self.ff1.effective_weight()[:, :, 0], self.ff1.b,
-                self.ff2.effective_weight()[:, :, 0], self.ff2.b, fast)
+                self.ff2.effective_weight()[:, :, 0], self.ff2.b, fast,
+                skip=skip, emit_stats=emit_stats)
+            if emit_stats:
+                out, mo, vo = out
+                return out, (mo, vo)
+            return out
 
         y = self.norm1(x)
         bias = self.fc_t(step_embed)
@@ -205,7 +221,17 @@ class DiffWaveBlock(nn.Module):
         x = x + y
         y = self.norm2(x)
         y = self.ff2(jax.nn.gelu(self.ff1(y), approximate=False))
-        return x + y
+        y = x + y
+        if skip is not None:
+            y = y + skip
+        if emit_stats:
+            # dead placeholder on the unfused path (the consumer ignores
+            # carried stats outside the fused branch)
+            zshape = ((y.shape[0], y.shape[1], y.shape[3]) if compact
+                      else (y.shape[0], y.shape[2]))
+            z = jnp.zeros(zshape, jnp.float32)
+            return y, (z, z)
+        return y
 
     def compute_kernel(self, L: int) -> jnp.ndarray:
         return self.s4.compute_kernel(L)
@@ -255,12 +281,13 @@ class _ScanBlock(nn.Module):
             mel_upsample=tuple(self.mel_upsample),
             dtype=self.dtype, param_dtype=self.param_dtype, name="block")
 
-    def __call__(self, x, kernel, skip, embed, mel_spec, train=False):
+    def __call__(self, carry, kernel, skip, embed, mel_spec, train=False):
+        x, mean, var = carry
         emitted = x if self.emit_skip else None
-        y = self.block(x, embed, mel_spec, kernel=kernel, train=train)
-        if self.consume_skip:
-            y = y + skip
-        return y, emitted
+        y, (mo, vo) = self.block(
+            x, embed, mel_spec, kernel, train, (mean, var),
+            skip if self.consume_skip else None, True)
+        return (y, mo, vo), emitted
 
 
 def _make_stack(n: int, remat: bool, **cfg):
@@ -534,19 +561,34 @@ class Sashimi(nn.Module):
 
         if self.block_scan:
             kget = (lambda name: None) if kernels is None else kernels.get
+            fused = compact and not train
+
+            def carry0(x):
+                """Initial (x, mean, var) scan carry for a stage: real
+                channel stats on the fused eval path (consumed by the
+                first block's norm1 prologue; later blocks' stats ride
+                the carry from ln_ff_res), dead zeros otherwise."""
+                if fused:
+                    x32 = x.astype(jnp.float32)
+                    return x, jnp.mean(x32, axis=2), jnp.var(x32, axis=2)
+                zshape = ((x.shape[0], x.shape[1], x.shape[3])
+                          if x.ndim == 4 else (x.shape[0], x.shape[2]))
+                z = jnp.zeros(zshape, jnp.float32)
+                return x, z, z
+
             pool_skips, stage_skips = [], []
             for si, dp in enumerate(self.d_pools):
                 if self.unet:
-                    x, emitted = self.d_stacks[si](
-                        x, kget(f"d{si}_blocks"), None, embed, mel_spec,
-                        train)
+                    (x, _, _), emitted = self.d_stacks[si](
+                        carry0(x), kget(f"d{si}_blocks"), None, embed,
+                        mel_spec, train)
                     stage_skips.append(emitted)   # (n, B, H, L) pre-block xs
                 pool_skips.append(x)              # pre-DownPool
                 x = dp(x)
 
             c_pre = x
-            x, _ = self.c_stack(x, kget("c_blocks"), None, embed, mel_spec,
-                                train)
+            (x, _, _), _ = self.c_stack(carry0(x), kget("c_blocks"), None,
+                                        embed, mel_spec, train)
             x = x + c_pre
 
             n_stages = len(self.d_pools)
@@ -558,8 +600,9 @@ class Sashimi(nn.Module):
                     # u blocks consume the matching d stage's pre-block xs
                     # in reverse push order (the reference's outputs.pop())
                     skips = jnp.flip(stage_skips[n_stages - 1 - si], axis=0)
-                x, _ = self.u_stacks[si](
-                    x, kget(f"u{si}_blocks"), skips, embed, mel_spec, train)
+                (x, _, _), _ = self.u_stacks[si](
+                    carry0(x), kget(f"u{si}_blocks"), skips, embed,
+                    mel_spec, train)
 
             x = self.norm(x)
             x = jax.nn.relu(self.final_conv1(x))

@@ -36,6 +36,7 @@ path on CPU).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -132,10 +133,13 @@ def mix_glu_res(y: jnp.ndarray, res: jnp.ndarray, w: jnp.ndarray,
 # out = x + W2 @ gelu(W1 @ TLN(x) + b1) + b2
 
 
-def _ff_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ms_ref, o_ref, *,
-               fast: bool):
+def _ff_kernel(x_ref, *refs, fast: bool, has_skip: bool, emit_stats: bool):
     f32 = jnp.float32
     tmp = jnp.bfloat16 if fast else f32
+    refs = list(refs)
+    skip_ref = refs.pop(0) if has_skip else None
+    w1_ref, b1_ref, w2_ref, b2_ref, ms_ref, o_ref = refs[:6]
+    mean_ref, var_ref = (refs[6], refs[7]) if emit_stats else (None, None)
     xt = x_ref[0].astype(f32)                       # (S_t, H, Rc)
     m = ms_ref[0, 0]
     s = ms_ref[1, 0]
@@ -148,11 +152,20 @@ def _ff_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ms_ref, o_ref, *,
     z = _gelu_fast(z) if fast else _gelu_exact(z)
     o = _bmm(w2_ref[...], z, tmp)                    # (S_t, H, Rc)
     o = o + b2_ref[...][None]
-    o_ref[0] = (xt + o).astype(o_ref.dtype)
+    out = xt + o
+    if has_skip:
+        out = out + skip_ref[0].astype(f32)          # fused UNet skip add
+    o_ref[0] = out.astype(o_ref.dtype)
+    if emit_stats:
+        # channel stats of the OUTPUT: the next block's norm1 prologue
+        # consumes these, so its XLA stats reduction disappears
+        mo = jnp.mean(out, axis=1)                   # (S_t, Rc)
+        mean_ref[0] = mo
+        var_ref[0] = jnp.mean(jnp.square(out), axis=1) - mo * mo
 
 
-def ln_ff_res_ref(x, m, s, w1, b1, w2, b2):
-    """XLA reference of the fused LN + FF + residual branch."""
+def ln_ff_res_ref(x, m, s, w1, b1, w2, b2, skip=None, emit_stats=False):
+    """XLA reference of the fused LN + FF + residual (+ skip) branch."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=2, keepdims=True)
     std = jnp.sqrt(jnp.var(x32, axis=2, keepdims=True))
@@ -163,21 +176,33 @@ def ln_ff_res_ref(x, m, s, w1, b1, w2, b2):
                     approximate=False)
     o = jnp.einsum("bshr,oh->bsor", z, w2.astype(jnp.float32), **kw)
     o = o + b2.astype(jnp.float32)[None, None, :, None]
-    return (x32 + o).astype(x.dtype)
+    out = x32 + o
+    if skip is not None:
+        out = out + skip.astype(jnp.float32)
+    outc = out.astype(x.dtype)
+    if not emit_stats:
+        return outc
+    mo = jnp.mean(out, axis=2)
+    return outc, mo, jnp.mean(jnp.square(out), axis=2) - mo * mo
 
 
 def ln_ff_res(x: jnp.ndarray, m: jnp.ndarray, s: jnp.ndarray,
               w1: jnp.ndarray, b1: jnp.ndarray,
               w2: jnp.ndarray, b2: jnp.ndarray,
-              fast: bool = True) -> jnp.ndarray:
-    """x: (B, S, H, Rc) -> x + ff2(gelu(ff1(TLN(x)))) in one HBM pass.
+              fast: bool = True, skip: Optional[jnp.ndarray] = None,
+              emit_stats: bool = False):
+    """x: (B, S, H, Rc) -> x + ff2(gelu(ff1(TLN(x)))) [+ skip], one HBM
+    pass.  With ``emit_stats`` also returns (mean, var) of the output
+    over the channel dim — the next block's norm1 prologue input, so the
+    per-block XLA stats reduction disappears (stats ride the scan carry).
 
     Fuses the DiffWave block's norm2 + feed-forward + residual branch
-    (reference models/sashimi.py:116-123: LayerNorm + ff Conv pair).
+    (reference models/sashimi.py:116-123: LayerNorm + ff Conv pair) and
+    the UNet skip add (reference models/sashimi.py:300-307).
     w1: (F, H); w2: (H, F); m, s: TransposedLN scalars, shape (1,).
     """
     if _interpret():
-        return ln_ff_res_ref(x, m, s, w1, b1, w2, b2)
+        return ln_ff_res_ref(x, m, s, w1, b1, w2, b2, skip, emit_stats)
     B, S, H, Rc = x.shape
     F = w1.shape[0]
     St = _choose_st(S, max(H, F), Rc)
@@ -188,20 +213,33 @@ def ln_ff_res(x: jnp.ndarray, m: jnp.ndarray, s: jnp.ndarray,
                     s.astype(jnp.float32).reshape(())]).reshape(2, 1)
     io_spec = pl.BlockSpec((1, St, H, Rc), lambda bb, ss: (bb, ss, 0, 0),
                            memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((1, St, Rc), lambda bb, ss: (bb, ss, 0),
+                           memory_space=pltpu.VMEM)
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda bb, ss: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
-        functools.partial(_ff_kernel, fast=fast),
+    ins = [x] + ([skip] if skip is not None else []) \
+        + [w1, b1c, w2, b2c, ms]
+    in_specs = [io_spec] + ([io_spec] if skip is not None else []) \
+        + [full(w1), full(b1c), full(w2), full(b2c), full(ms)]
+    out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
+    out_specs = [io_spec]
+    if emit_stats:
+        out_shape += [jax.ShapeDtypeStruct((B, S, Rc), jnp.float32)] * 2
+        out_specs += [st_spec, st_spec]
+    out = pl.pallas_call(
+        functools.partial(_ff_kernel, fast=fast,
+                          has_skip=skip is not None,
+                          emit_stats=emit_stats),
         grid=(B, S // St),
-        in_specs=[io_spec, full(w1), full(b1c), full(w2), full(b2c),
-                  full(ms)],
-        out_specs=io_spec,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs if emit_stats else out_specs[0],
+        out_shape=out_shape if emit_stats else out_shape[0],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * S * Rc * 2 * H * F,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=x.size * F // H),
-    )(x, w1, b1c, w2, b2c, ms)
+    )(*ins)
+    return out
