@@ -282,7 +282,13 @@ class SSKernelNPLR(nn.Module):
             k_f = r00 - jnp.einsum("ijhl,jkhl,klhl->ilhl", r01, r11, r10)
 
         k_f = k_f * 2 / (1 + omega)                        # bilinear fix
-        k = jnp.fft.irfft(k_f, n=discrete_L)[..., :L]      # (B+1, c, H, L)
+        # MXU irfft (matmul four-step, composite sizes like 16000 =
+        # 125 x 128 supported): the XLA VPU FFT here was the single
+        # largest piece of per-step kernel construction in training
+        if _on_tpu() and discrete_L % 2 == 0:
+            k = mxu_fft.irfft_mxu(k_f, discrete_L)[..., :L]
+        else:
+            k = jnp.fft.irfft(k_f, n=discrete_L)[..., :L]  # (B+1, c, H, L)
         if n_state:
             return k[-1], k[:-1]
         return k[0]

@@ -53,43 +53,53 @@ MAX_BWD_L = 32768
 
 def _fwd_kernel(a_ref, b_ref, c_ref, d_ref, zre_ref, zim_ref,
                 out_re_ref, out_im_ref):
+    """a, b: (K, BM, N) numerator coeffs per component; c, d: (BM, N)
+    denominator coeffs SHARED across the K components (they come from w
+    only) — the reciprocal, the most expensive op here, is computed once
+    per (m, n, l) and reused by all K numerators (K = (1+r)(c+r) = 6 for
+    the bidirectional rank-1 S4 layer)."""
     zre = zre_ref[0, :]                       # (BL,)
     zim = zim_ref[0, :]
     z2re = zre * zre - zim * zim              # z^2
     z2im = 2.0 * zre * zim
-    N = a_ref.shape[1]
+    K, _, N = a_ref.shape
 
-    acc_re = jnp.zeros(out_re_ref.shape, jnp.float32)
-    acc_im = jnp.zeros(out_re_ref.shape, jnp.float32)
+    acc_re = [jnp.zeros(out_re_ref.shape[1:], jnp.float32)
+              for _ in range(K)]
+    acc_im = [jnp.zeros(out_re_ref.shape[1:], jnp.float32)
+              for _ in range(K)]
     for n in range(N):                        # static unroll over states
-        an = a_ref[:, n:n + 1]                # (BM, 1)
-        bn = b_ref[:, n:n + 1]
-        cn = c_ref[:, n:n + 1]
+        cn = c_ref[:, n:n + 1]                # (BM, 1)
         dn = d_ref[:, n:n + 1]
         den_re = z2re[None, :] + cn * zre[None, :] + dn
         den_im = z2im[None, :] + cn * zim[None, :]
-        num_re = an * zre[None, :] + bn
-        num_im = an * zim[None, :]
         inv = 1.0 / (den_re * den_re + den_im * den_im)
-        acc_re += (num_re * den_re + num_im * den_im) * inv
-        acc_im += (num_im * den_re - num_re * den_im) * inv
-    out_re_ref[:, :] = acc_re
-    out_im_ref[:, :] = acc_im
+        g0_re = den_re * inv                  # 1/den, shared
+        g0_im = -den_im * inv
+        for k in range(K):
+            an = a_ref[k, :, n:n + 1]
+            bn = b_ref[k, :, n:n + 1]
+            num_re = an * zre[None, :] + bn
+            num_im = an * zim[None, :]
+            acc_re[k] += num_re * g0_re - num_im * g0_im
+            acc_im[k] += num_im * g0_re + num_re * g0_im
+    for k in range(K):
+        out_re_ref[k] = acc_re[k]
+        out_im_ref[k] = acc_im[k]
 
 
 def _bwd_kernel(a_ref, b_ref, c_ref, d_ref, zre_ref, zim_ref,
                 gre_ref, gim_ref, da_ref, db_ref, dc_ref, dd_ref):
+    """Closed-form coefficient grads with the denominator chain (den, inv,
+    G0, G1) computed once per (m, n, l) and shared by all K components;
+    dc/dd accumulate over K (c, d are shared inputs)."""
     zre = zre_ref[0, :]
     zim = zim_ref[0, :]
     z2re = zre * zre - zim * zim
     z2im = 2.0 * zre * zim
-    gre = gre_ref[:, :]                       # (BM, L)
-    gim = gim_ref[:, :]
-    N = a_ref.shape[1]
+    K, _, N = a_ref.shape
 
     for n in range(N):
-        an = a_ref[:, n:n + 1]
-        bn = b_ref[:, n:n + 1]
         cn = c_ref[:, n:n + 1]
         dn = d_ref[:, n:n + 1]
         den_re = z2re[None, :] + cn * zre[None, :] + dn
@@ -100,25 +110,33 @@ def _bwd_kernel(a_ref, b_ref, c_ref, d_ref, zre_ref, zim_ref,
         g0_im = -den_im * inv
         g1_re = (zre[None, :] * den_re + zim[None, :] * den_im) * inv
         g1_im = (zim[None, :] * den_re - zre[None, :] * den_im) * inv
-        # d a = sum_l g . dout/da, dout/da = G1 (complex, split parts)
-        da_ref[:, n:n + 1] = jnp.sum(gre * g1_re + gim * g1_im, axis=1,
-                                     keepdims=True)
-        db_ref[:, n:n + 1] = jnp.sum(gre * g0_re + gim * g0_im, axis=1,
-                                     keepdims=True)
-        # out = num/den; d out/dc = -num * z / den^2 = -(num/den) * G1
-        # d out/dd = -(num/den) * G0
-        num_re = an * zre[None, :] + bn
-        num_im = an * zim[None, :]
-        q_re = (num_re * den_re + num_im * den_im) * inv   # num/den
-        q_im = (num_im * den_re - num_re * den_im) * inv
-        dc_re = -(q_re * g1_re - q_im * g1_im)
-        dc_im = -(q_re * g1_im + q_im * g1_re)
-        dd_re = -(q_re * g0_re - q_im * g0_im)
-        dd_im = -(q_re * g0_im + q_im * g0_re)
-        dc_ref[:, n:n + 1] = jnp.sum(gre * dc_re + gim * dc_im, axis=1,
-                                     keepdims=True)
-        dd_ref[:, n:n + 1] = jnp.sum(gre * dd_re + gim * dd_im, axis=1,
-                                     keepdims=True)
+        dc_acc = jnp.zeros_like(cn)
+        dd_acc = jnp.zeros_like(cn)
+        for k in range(K):
+            gre = gre_ref[k]                  # (BM, L)
+            gim = gim_ref[k]
+            an = a_ref[k, :, n:n + 1]
+            bn = b_ref[k, :, n:n + 1]
+            # d a = sum_l g . dout/da, dout/da = G1 (complex, split parts)
+            da_ref[k, :, n:n + 1] = jnp.sum(
+                gre * g1_re + gim * g1_im, axis=1, keepdims=True)
+            db_ref[k, :, n:n + 1] = jnp.sum(
+                gre * g0_re + gim * g0_im, axis=1, keepdims=True)
+            # out = num/den; d out/dc = -(num/den) * G1; d/dd = -(.)*G0
+            num_re = an * zre[None, :] + bn
+            num_im = an * zim[None, :]
+            q_re = (num_re * den_re + num_im * den_im) * inv   # num/den
+            q_im = (num_im * den_re - num_re * den_im) * inv
+            dc_re = -(q_re * g1_re - q_im * g1_im)
+            dc_im = -(q_re * g1_im + q_im * g1_re)
+            dd_re = -(q_re * g0_re - q_im * g0_im)
+            dd_im = -(q_re * g0_im + q_im * g0_re)
+            dc_acc += jnp.sum(gre * dc_re + gim * dc_im, axis=1,
+                              keepdims=True)
+            dd_acc += jnp.sum(gre * dd_re + gim * dd_im, axis=1,
+                              keepdims=True)
+        dc_ref[:, n:n + 1] = dc_acc
+        dd_ref[:, n:n + 1] = dd_acc
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int, value=0.0) -> jnp.ndarray:
@@ -137,38 +155,41 @@ def _cauchy_quad(a, b, c, d, zre, zim):
 
 
 def _cauchy_quad_fwd_impl(a, b, c, d, zre, zim):
-    M, N = a.shape
+    K, M, N = a.shape
     L = zre.shape[0]
-    a_p = _pad_to(a, 0, BM)
-    b_p = _pad_to(b, 0, BM)
+    a_p = _pad_to(a, 1, BM)
+    b_p = _pad_to(b, 1, BM)
     c_p = _pad_to(c, 0, BM)
     # pad d with 1s so padded denominators are 1 (avoid 0/0)
     d_p = _pad_to(d, 0, BM, value=1.0)
     zre_p = _pad_to(zre[None, :], 1, BL, value=1.0)
     zim_p = _pad_to(zim[None, :], 1, BL)
-    Mp, Lp = a_p.shape[0], zre_p.shape[1]
+    Mp, Lp = a_p.shape[1], zre_p.shape[1]
 
     grid = (Mp // BM, Lp // BL)
-    coeff_spec = pl.BlockSpec((BM, N), lambda i, j: (i, 0),
-                              memory_space=pltpu.VMEM)
+    ab_spec = pl.BlockSpec((K, BM, N), lambda i, j: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    cd_spec = pl.BlockSpec((BM, N), lambda i, j: (i, 0),
+                           memory_space=pltpu.VMEM)
     z_spec = pl.BlockSpec((1, BL), lambda i, j: (0, j),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((BM, BL), lambda i, j: (i, j),
+    out_spec = pl.BlockSpec((K, BM, BL), lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
     out_re, out_im = pl.pallas_call(
         _fwd_kernel,
         grid=grid,
-        in_specs=[coeff_spec] * 4 + [z_spec] * 2,
+        in_specs=[ab_spec, ab_spec, cd_spec, cd_spec] + [z_spec] * 2,
         out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((Mp, Lp), jnp.float32),
-                   jax.ShapeDtypeStruct((Mp, Lp), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((K, Mp, Lp), jnp.float32),
+                   jax.ShapeDtypeStruct((K, Mp, Lp), jnp.float32)),
         cost_estimate=pl.CostEstimate(
-            flops=20 * Mp * N * Lp, bytes_accessed=(4 * Mp * N + 2 * Lp
-                                                    + 2 * Mp * Lp) * 4,
+            flops=(13 + 11 * K) * Mp * N * Lp,
+            bytes_accessed=(2 * K * Mp * N + 2 * Mp * N + 2 * Lp
+                            + 2 * K * Mp * Lp) * 4,
             transcendentals=0),
         interpret=_interpret(),
     )(a_p, b_p, c_p, d_p, zre_p, zim_p)
-    return out_re[:M, :L], out_im[:M, :L]
+    return out_re[:, :M, :L], out_im[:, :M, :L]
 
 
 def _cauchy_quad_fwd(a, b, c, d, zre, zim):
@@ -179,42 +200,49 @@ def _cauchy_quad_fwd(a, b, c, d, zre, zim):
 def _cauchy_quad_bwd(res, g):
     a, b, c, d, zre, zim = res
     gre, gim = g
-    M, N = a.shape
+    K, M, N = a.shape
     L = zre.shape[0]
     if L > MAX_BWD_L:
         # VMEM-bounded fallback: differentiate the XLA formulation
         raise NotImplementedError  # handled by wrapper choosing XLA path
-    a_p = _pad_to(a, 0, BM_BWD)
-    b_p = _pad_to(b, 0, BM_BWD)
+    a_p = _pad_to(a, 1, BM_BWD)
+    b_p = _pad_to(b, 1, BM_BWD)
     c_p = _pad_to(c, 0, BM_BWD)
     d_p = _pad_to(d, 0, BM_BWD, value=1.0)
     # pad L so lanes align; padded g is 0 so reductions are unaffected
     zre_p = _pad_to(zre[None, :], 1, 128, value=1.0)
     zim_p = _pad_to(zim[None, :], 1, 128)
-    gre_p = _pad_to(_pad_to(gre, 0, BM_BWD), 1, 128)
-    gim_p = _pad_to(_pad_to(gim, 0, BM_BWD), 1, 128)
-    Mp, Lp = gre_p.shape
+    gre_p = _pad_to(_pad_to(gre, 1, BM_BWD), 2, 128)
+    gim_p = _pad_to(_pad_to(gim, 1, BM_BWD), 2, 128)
+    _, Mp, Lp = gre_p.shape
 
     grid = (Mp // BM_BWD,)
-    coeff_spec = pl.BlockSpec((BM_BWD, N), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)
+    ab_spec = pl.BlockSpec((K, BM_BWD, N), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    cd_spec = pl.BlockSpec((BM_BWD, N), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
     z_spec = pl.BlockSpec((1, Lp), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((BM_BWD, Lp), lambda i: (i, 0),
+    g_spec = pl.BlockSpec((K, BM_BWD, Lp), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         _bwd_kernel,
         grid=grid,
-        in_specs=[coeff_spec] * 4 + [z_spec] * 2 + [g_spec] * 2,
-        out_specs=(coeff_spec,) * 4,
-        out_shape=tuple(jax.ShapeDtypeStruct((Mp, N), jnp.float32)
-                        for _ in range(4)),
+        in_specs=[ab_spec, ab_spec, cd_spec, cd_spec]
+        + [z_spec] * 2 + [g_spec] * 2,
+        out_specs=(ab_spec, ab_spec, cd_spec, cd_spec),
+        out_shape=(jax.ShapeDtypeStruct((K, Mp, N), jnp.float32),
+                   jax.ShapeDtypeStruct((K, Mp, N), jnp.float32),
+                   jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+                   jax.ShapeDtypeStruct((Mp, N), jnp.float32)),
         cost_estimate=pl.CostEstimate(
-            flops=60 * Mp * N * Lp,
-            bytes_accessed=(4 * Mp * N * 2 + 2 * Lp + 2 * Mp * Lp) * 4,
+            flops=(20 + 40 * K) * Mp * N * Lp,
+            bytes_accessed=(4 * K * Mp * N + 2 * Lp
+                            + 2 * K * Mp * Lp) * 4,
             transcendentals=0),
         interpret=_interpret(),
     )(a_p, b_p, c_p, d_p, zre_p, zim_p, gre_p, gim_p)
-    da, db, dc, dd = (o[:M] for o in outs)
+    da, db = outs[0][:, :M], outs[1][:, :M]
+    dc, dd = outs[2][:M], outs[3][:M]
     return da, db, dc, dd, None, None
 
 
@@ -227,20 +255,25 @@ def cauchy_sym_pallas(v: jnp.ndarray, z: jnp.ndarray, w: jnp.ndarray
 
     v: (..., H, N) complex64; z: (L,) complex64; w: (H, N) complex64.
     Returns (..., H, L) complex64.  Differentiable wrt v and w.
+
+    The leading dims of v are carried as a component axis K whose
+    denominator work (from w alone) is shared inside the kernel — for
+    the S4 NPLR evaluation K = (1+r)(c+r) components all share one w.
     """
-    batch_shape = v.shape[:-1]
-    N = v.shape[-1]
+    comp_shape = v.shape[:-2]
+    H, N = v.shape[-2:]
     L = z.shape[0]
+    assert w.shape == (H, N), (w.shape, v.shape)
 
     # Real coefficients (differentiable jnp ops -> grads reach v, w).
     a = 2.0 * v.real
     b = -2.0 * (v.real * w.real + v.imag * w.imag)
-    cw = jnp.broadcast_to(-2.0 * w.real, batch_shape + (N,))
-    dw = jnp.broadcast_to(w.real ** 2 + w.imag ** 2, batch_shape + (N,))
+    cw = -2.0 * w.real
+    dw = w.real ** 2 + w.imag ** 2
 
-    M = int(np.prod(batch_shape))
+    K = max(int(np.prod(comp_shape)), 1)
     out_re, out_im = _cauchy_quad(
-        a.reshape(M, N), b.reshape(M, N), cw.reshape(M, N), dw.reshape(M, N),
+        a.reshape(K, H, N), b.reshape(K, H, N), cw, dw,
         z.real.astype(jnp.float32), z.imag.astype(jnp.float32))
-    out = jax.lax.complex(out_re, out_im).reshape(batch_shape + (L,))
+    out = jax.lax.complex(out_re, out_im).reshape(comp_shape + (H, L))
     return out

@@ -26,6 +26,7 @@ the full spectrum via conjugate symmetry inside the matmul algebra.
 
 from __future__ import annotations
 
+import math
 from functools import lru_cache, partial
 from typing import Tuple
 
@@ -59,11 +60,27 @@ def _prec():
 
 
 def _split_size(n: int) -> Tuple[int, int]:
-    """n = N1 * N2, both powers of two, as square as possible."""
-    assert n & (n - 1) == 0 and n >= 4, f"n must be a power of two >= 4: {n}"
-    log = n.bit_length() - 1
-    l1 = log // 2
-    return 1 << l1, 1 << (log - l1)
+    """n = N1 * N2 as square as possible, N2 even (the half-spectrum
+    bookkeeping needs it).  Any composite factorization works — the
+    four-step derivations below only use W_n^{N1} = W_{N2}; powers of two
+    split perfectly, and e.g. the S4 kernel's native n = l_max = 16000
+    splits 125 x 128 (lane pads to 128 in the matmuls)."""
+    assert n >= 4, n
+    if n & (n - 1) == 0:
+        log = n.bit_length() - 1
+        l1 = log // 2
+        return 1 << l1, 1 << (log - l1)
+    best = None
+    for d in range(int(math.isqrt(n)), 0, -1):
+        if n % d == 0:
+            n1, n2 = d, n // d
+            if n2 % 2 == 0:
+                best = (n1, n2)
+                break
+            if n1 % 2 == 0 and best is None:
+                best = (n2, n1)
+    assert best is not None, f"no even-factor split for n={n}"
+    return best
 
 
 @lru_cache(maxsize=32)
