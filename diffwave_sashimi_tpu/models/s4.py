@@ -614,8 +614,6 @@ class S4(nn.Module):
         # ---- v2 compact-layout fused path (kernel = (kfr, kfi) pair) ----
         if isinstance(kernel, (tuple, list)):
             assert u.ndim == 4 and state is None and rate == 1.0
-            assert residual is None or not train, \
-                "fused residual epilogue is an eval-only path"
             kfr, kfi = kernel
             lay = self.v2_layout(self.l_max)
             assert u.shape[1] == lay.S and u.shape[3] == lay.Rc, \
@@ -649,6 +647,14 @@ class S4(nn.Module):
                          * u)
                 y = jax.nn.gelu(y, approximate=False)
                 y = self._dropout_nd(y, train)
+                if residual is not None:
+                    # differentiable fused output linear + GLU + residual
+                    # (hand-written backward kernel, ops/chmix)
+                    assert self.dropout == 0.0
+                    from ..ops import chmix
+                    return chmix.mix_glu_res_train(
+                        y.astype(self.dtype), residual,
+                        self.output_linear.w, self.output_linear.b, fast)
             return self._postact(y.astype(self.dtype))
 
         if not self.transposed:

@@ -168,6 +168,37 @@ class DiffWaveBlock(nn.Module):
         skip added AFTER the whole block (u-stages)."""
         compact = x.ndim == 4                 # (B, S, H, Rc) channel-inner
 
+        if compact and train and isinstance(kernel, (tuple, list)) \
+                and self.s4.dropout == 0.0:
+            # fused TRAIN path: conv via the fftconv2 custom VJP, both
+            # residual branches via the chmix kernels with hand-written
+            # fused backward kernels (norm1/bias stay XLA so their grads
+            # come free with the stats chain)
+            from ..ops import chmix, fftconv_pallas
+            fast = fftconv_pallas.FAST["enabled"]
+            y = self.norm1(x)
+            bias = self.fc_t(step_embed)
+            y = y + bias[:, None, :, None]
+            res = x
+            if mel_spec is not None:
+                assert not self.unconditional
+                from ..ops import fftconv2
+                lay = self.s4.v2_layout(self.L)
+                mel = self.mel_upsampler(mel_spec, lay.L)
+                mel = fftconv2.to_compact(mel, lay).astype(x.dtype)
+                res = res + self.mel_conv(mel)
+            x2 = self.s4(y, kernel=kernel, train=True, residual=res)
+            out = chmix.ln_ff_res_train(
+                x2, self.norm2.m, self.norm2.s,
+                self.ff1.effective_weight()[:, :, 0], self.ff1.b,
+                self.ff2.effective_weight()[:, :, 0], self.ff2.b, fast,
+                skip=skip)
+            if emit_stats:
+                z = jnp.zeros((out.shape[0], out.shape[1], out.shape[3]),
+                              jnp.float32)
+                return out, (z, z)
+            return out
+
         if compact and not train and isinstance(kernel, (tuple, list)):
             # eval fast path: the whole block runs in three fused HBM
             # passes — norm1 + step-bias ride the conv kernel as a

@@ -27,10 +27,11 @@ m, s); GLU matches flax/torch glu over the channel dim (reference
 models/s4.py:163-177 LinearActivation postact); gelu is the exact-erf
 form (A&S 7.1.26 rational erf — Pallas TPU has no erf primitive).
 
-Eval-path only (no VJP): the training path keeps the differentiable XLA
-formulation in models/.  On non-TPU backends the pure-XLA reference
-implementations below run instead (same math, testable vs the module
-path on CPU).
+The eval wrappers (mix_glu_res / ln_ff_res) have no VJP; the training
+path uses the *_train wrappers whose custom VJPs run HAND-WRITTEN fused
+backward kernels (see the training section below).  On non-TPU backends
+the pure-XLA reference implementations run instead (same math, testable
+vs the module path on CPU).
 """
 
 from __future__ import annotations
@@ -40,6 +41,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -52,6 +54,17 @@ def _choose_st(S: int, H: int, Rc: int) -> int:
     st = S
     # budget ~6 MB of f32 across the ~4 live (S_t, 2H, Rc)-class tensors
     while st > 8 and st * H * Rc * 4 * 6 > 6 * 2 ** 20:
+        st //= 2
+    return st
+
+
+def _choose_st_bwd(S: int, H: int, F: int, Rc: int) -> int:
+    """Backward-kernel tile rows: the live set is larger (z, gelu(z), dh,
+    dz at width F plus ~6 H-wide tensors, all f32), and Mosaic's frame
+    must stay under the 16 MB scoped-vmem limit."""
+    per_st = (4 * F + 6 * H) * Rc * 4
+    st = S
+    while st > 1 and st * per_st > 8 * 2 ** 20:
         st //= 2
     return st
 
@@ -243,3 +256,267 @@ def ln_ff_res(x: jnp.ndarray, m: jnp.ndarray, s: jnp.ndarray,
             transcendentals=x.size * F // H),
     )(*ins)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Training path: the same fused forwards with HAND-WRITTEN backward kernels
+# (jax.custom_vjp).  The XLA autodiff of the unfused formulation
+# materializes every intermediate (z, gelu(z), LN stats chains) in HBM
+# twice (remat recompute + backward); these kernels recompute them in
+# VMEM from the saved block INPUT only — the same memory discipline as
+# the forward.  Weight/bias/scalar grads accumulate across the grid into
+# VMEM-resident output tiles (grid iteration on TPU is sequential).
+#
+# On non-TPU backends the public *_train wrappers fall back to the
+# differentiable XLA references (identical math); the kernels themselves
+# are covered by dedicated interpret-mode grad tests.
+
+
+def _gelu_exact_grad(x):
+    from .fftconv2 import _erf
+    phi = 0.5 * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
+    pdf = np.float32(1.0 / np.sqrt(2.0 * np.pi)) * jnp.exp(-0.5 * x * x)
+    return phi + x * pdf
+
+
+def _gelu_fast_grad(x):
+    from .fftconv2 import _GELU_C
+    xc = jnp.clip(x, -4.0, 4.0)
+    x2 = xc * xc
+    p = jnp.asarray(_GELU_C[-1], x.dtype)
+    for c in _GELU_C[-2::-1]:
+        p = p * x2 + jnp.asarray(c, x.dtype)
+    pp = jnp.asarray(6.0 * _GELU_C[-1], x.dtype)
+    for i in range(5, 0, -1):
+        pp = pp * x2 + jnp.asarray(i * _GELU_C[i], x.dtype)
+    inner = 0.5 + 2.0 * xc * (p + x2 * pp)
+    return jnp.where(x > 4.0, 1.0, jnp.where(x < -4.0, 0.0, inner))
+
+
+def _bmmc(a, b):
+    """Batched (S_t, O, Rc) x (S_t, I, Rc) -> (O, I): contract the Rc
+    lanes AND the row batch (weight-gradient contraction)."""
+    St = a.shape[0]
+    acc = None
+    for si in range(St):
+        t = jax.lax.dot_general(a[si], b[si], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _splat2(v0, v1):
+    """(8, 128) tile carrying two accumulated scalars in rows 0/1."""
+    return jnp.concatenate([jnp.full((1, 128), v0, jnp.float32),
+                            jnp.full((1, 128), v1, jnp.float32),
+                            jnp.zeros((6, 128), jnp.float32)], axis=0)
+
+
+def _ff_bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2t_ref, w1t_ref, ms_ref,
+                   dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dms_ref, *,
+                   fast: bool):
+    f32 = jnp.float32
+    tmp = jnp.bfloat16 if fast else f32
+    xt = x_ref[0].astype(f32)                        # (S_t, H, Rc)
+    gt = g_ref[0].astype(f32)
+    m = ms_ref[0, 0]
+    s = ms_ref[1, 0]
+    mean = jnp.mean(xt, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xt), axis=1, keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(var)
+    xc = xt - mean
+    r = s * rstd
+    xn = r * (xc + m)
+    z = _bmm(w1_ref[...], xn, tmp) + b1_ref[...][None]
+    hact = _gelu_fast(z) if fast else _gelu_exact(z)
+    dh = _bmm(w2t_ref[...], gt, tmp)                 # (S_t, F, Rc)
+    dz = (_gelu_fast_grad(z) if fast else _gelu_exact_grad(z)) * dh
+    dxn = _bmm(w1t_ref[...], dz, tmp)                # (S_t, H, Rc)
+    S1 = jnp.mean(dxn, axis=1, keepdims=True)
+    S2 = jnp.mean(dxn * (xc + m), axis=1, keepdims=True)
+    dx = gt + r * (dxn - S1) - (r * rstd * rstd) * xc * S2
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    dw1 = _bmmc(dz, xn)                              # (F, H)
+    dw2 = _bmmc(gt, hact)                            # (H, F)
+    db1 = jnp.sum(dz, axis=(0, 2))[:, None]          # (F, 1)
+    db2 = jnp.sum(gt, axis=(0, 2))[:, None]          # (H, 1)
+    dm = jnp.sum(dxn * r)
+    ds = jnp.sum(dxn * rstd * (xc + m))
+    dms = _splat2(dm, ds)
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dw1_ref[...] = dw1
+        db1_ref[...] = db1
+        dw2_ref[...] = dw2
+        db2_ref[...] = db2
+        dms_ref[...] = dms
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        dw1_ref[...] += dw1
+        db1_ref[...] += db1
+        dw2_ref[...] += dw2
+        db2_ref[...] += db2
+        dms_ref[...] += dms
+
+
+def _glu_bwd_kernel(y_ref, g_ref, w_ref, b_ref, wt_ref,
+                    dy_ref, dw_ref, db_ref, *, fast: bool):
+    f32 = jnp.float32
+    tmp = jnp.bfloat16 if fast else f32
+    yt = y_ref[0].astype(f32)                        # (S_t, H, Rc)
+    gt = g_ref[0].astype(f32)
+    H = yt.shape[1]
+    z = _bmm(w_ref[...], yt, tmp) + b_ref[...][None]
+    a, gate = z[:, :H], z[:, H:]
+    sig = jax.nn.sigmoid(gate)
+    da = gt * sig
+    dgate = gt * a * sig * (1.0 - sig)
+    dz = jnp.concatenate([da, dgate], axis=1)        # (S_t, 2H, Rc)
+    dy = _bmm(wt_ref[...], dz, tmp)                  # (S_t, H, Rc)
+    dy_ref[0] = dy.astype(dy_ref.dtype)
+
+    dw = _bmmc(dz, yt)                               # (2H, H)
+    db = jnp.sum(dz, axis=(0, 2))[:, None]           # (2H, 1)
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dw_ref[...] = dw
+        db_ref[...] = db
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        dw_ref[...] += dw
+        db_ref[...] += db
+
+
+def _grid_specs(B, S, St, H, Rc):
+    io = pl.BlockSpec((1, St, H, Rc), lambda bb, ss: (bb, ss, 0, 0),
+                      memory_space=pltpu.VMEM)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda bb, ss: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+    return io, full
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ff_train(fast, x, m, s, w1, b1, w2, b2):
+    out = ln_ff_res(x, m, s, w1, b1, w2, b2, fast)
+    return out
+
+
+def _ff_train_fwd(fast, x, m, s, w1, b1, w2, b2):
+    return _ff_train(fast, x, m, s, w1, b1, w2, b2), \
+        (x, m, s, w1, b1, w2, b2)
+
+
+def _ff_train_bwd(fast, res, g):
+    x, m, s, w1, b1, w2, b2 = res
+    B, S, H, Rc = x.shape
+    F = w1.shape[0]
+    St = _choose_st_bwd(S, H, F, Rc)
+    assert S % St == 0
+    b1c = b1.astype(jnp.float32).reshape(-1, 1)
+    ms = jnp.stack([m.astype(jnp.float32).reshape(()),
+                    s.astype(jnp.float32).reshape(())]).reshape(2, 1)
+    w2t = w2.T                                       # (F, H)
+    w1t = w1.T                                       # (H, F)
+    io, full = _grid_specs(B, S, St, H, Rc)
+    dx, dw1, db1, dw2, db2, dms = pl.pallas_call(
+        functools.partial(_ff_bwd_kernel, fast=fast),
+        grid=(B, S // St),
+        in_specs=[io, io, full(w1), full(b1c), full(w2t), full(w1t),
+                  full(ms)],
+        out_specs=[io, full(w1), full(b1c), full(w2), full(jnp.zeros(
+            (H, 1))), full(jnp.zeros((8, 128)))],
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct((F, H), jnp.float32),
+                   jax.ShapeDtypeStruct((F, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((H, F), jnp.float32),
+                   jax.ShapeDtypeStruct((H, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+        interpret=_interpret(),
+    )(x, g.astype(x.dtype), w1, b1c, w2t, w1t, ms)
+    dm = dms[0, 0].reshape(1).astype(m.dtype)
+    ds = dms[1, 0].reshape(1).astype(s.dtype)
+    return (dx, dm, ds, dw1.astype(w1.dtype), db1[:, 0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db2[:, 0].astype(b2.dtype))
+
+
+_ff_train.defvjp(_ff_train_fwd, _ff_train_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ff_train_skip(fast, x, skip, m, s, w1, b1, w2, b2):
+    return ln_ff_res(x, m, s, w1, b1, w2, b2, fast, skip=skip)
+
+
+def _ff_train_skip_fwd(fast, x, skip, m, s, w1, b1, w2, b2):
+    return _ff_train_skip(fast, x, skip, m, s, w1, b1, w2, b2), \
+        (x, m, s, w1, b1, w2, b2)
+
+
+def _ff_train_skip_bwd(fast, res, g):
+    dx, dm, ds, dw1, db1, dw2, db2 = _ff_train_bwd(fast, res, g)
+    return (dx, g, dm, ds, dw1, db1, dw2, db2)
+
+
+_ff_train_skip.defvjp(_ff_train_skip_fwd, _ff_train_skip_bwd)
+
+
+def ln_ff_res_train(x, m, s, w1, b1, w2, b2, fast=True, skip=None):
+    """Differentiable fused LN + FF + residual (+ skip): fused forward
+    kernel plus a hand-written fused backward kernel (weight grads
+    accumulate over the batch grid in VMEM).  Falls back to the XLA
+    reference off-TPU."""
+    if _interpret():
+        return ln_ff_res_ref(x, m, s, w1, b1, w2, b2, skip)
+    if skip is None:
+        return _ff_train(fast, x, m, s, w1, b1, w2, b2)
+    return _ff_train_skip(fast, x, skip, m, s, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _glu_train(fast, y, res, w, b):
+    return mix_glu_res(y, res, w, b, fast)
+
+
+def _glu_train_fwd(fast, y, res, w, b):
+    return _glu_train(fast, y, res, w, b), (y, w, b)
+
+
+def _glu_train_bwd(fast, resids, g):
+    y, w, b = resids
+    B, S, H, Rc = y.shape
+    St = _choose_st_bwd(S, H, 2 * H, Rc)
+    assert S % St == 0
+    b2 = b.astype(jnp.float32).reshape(-1, 1)
+    wt = w.T                                         # (H, 2H)
+    io, full = _grid_specs(B, S, St, H, Rc)
+    dy, dw, db = pl.pallas_call(
+        functools.partial(_glu_bwd_kernel, fast=fast),
+        grid=(B, S // St),
+        in_specs=[io, io, full(w), full(b2), full(wt)],
+        out_specs=[io, full(w), full(b2)],
+        out_shape=[jax.ShapeDtypeStruct(y.shape, y.dtype),
+                   jax.ShapeDtypeStruct(w.shape, jnp.float32),
+                   jax.ShapeDtypeStruct((2 * H, 1), jnp.float32)],
+        interpret=_interpret(),
+    )(y, g.astype(y.dtype), w, b2, wt)
+    return (dy, g, dw.astype(w.dtype), db[:, 0].astype(b.dtype))
+
+
+_glu_train.defvjp(_glu_train_fwd, _glu_train_bwd)
+
+
+def mix_glu_res_train(y, res, w, b, fast=True):
+    """Differentiable fused output-linear + GLU + residual."""
+    if _interpret():
+        return glu_res_ref(y, res, w, b)
+    return _glu_train(fast, y, res, w, b)
