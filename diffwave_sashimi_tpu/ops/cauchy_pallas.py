@@ -110,8 +110,14 @@ def _bwd_kernel(a_ref, b_ref, c_ref, d_ref, zre_ref, zim_ref,
         g0_im = -den_im * inv
         g1_re = (zre[None, :] * den_re + zim[None, :] * den_im) * inv
         g1_im = (zim[None, :] * den_re - zre[None, :] * den_im) * inv
-        dc_acc = jnp.zeros_like(cn)
-        dd_acc = jnp.zeros_like(cn)
+        # A = sum_k a_kn conj(g_k), Bb = sum_k b_kn conj(g_k): collapses
+        # the dc/dd component loop — dc_n = -sum_l Re(G1 G0 (z A + Bb)),
+        # dd_n = -sum_l Re(G0 G0 (z A + Bb))  (num_k = a_k z + b_k and
+        # q_k = num_k G0 are linear in the coefficients)
+        A_re = jnp.zeros_like(g0_re)
+        A_im = jnp.zeros_like(g0_re)
+        B_re = jnp.zeros_like(g0_re)
+        B_im = jnp.zeros_like(g0_re)
         for k in range(K):
             gre = gre_ref[k]                  # (BM, L)
             gim = gim_ref[k]
@@ -122,21 +128,19 @@ def _bwd_kernel(a_ref, b_ref, c_ref, d_ref, zre_ref, zim_ref,
                 gre * g1_re + gim * g1_im, axis=1, keepdims=True)
             db_ref[k, :, n:n + 1] = jnp.sum(
                 gre * g0_re + gim * g0_im, axis=1, keepdims=True)
-            # out = num/den; d out/dc = -(num/den) * G1; d/dd = -(.)*G0
-            num_re = an * zre[None, :] + bn
-            num_im = an * zim[None, :]
-            q_re = (num_re * den_re + num_im * den_im) * inv   # num/den
-            q_im = (num_im * den_re - num_re * den_im) * inv
-            dc_re = -(q_re * g1_re - q_im * g1_im)
-            dc_im = -(q_re * g1_im + q_im * g1_re)
-            dd_re = -(q_re * g0_re - q_im * g0_im)
-            dd_im = -(q_re * g0_im + q_im * g0_re)
-            dc_acc += jnp.sum(gre * dc_re + gim * dc_im, axis=1,
-                              keepdims=True)
-            dd_acc += jnp.sum(gre * dd_re + gim * dd_im, axis=1,
-                              keepdims=True)
-        dc_ref[:, n:n + 1] = dc_acc
-        dd_ref[:, n:n + 1] = dd_acc
+            A_re += an * gre
+            A_im -= an * gim
+            B_re += bn * gre
+            B_im -= bn * gim
+        # T = z A + Bb ; W = G0 T
+        t_re = zre[None, :] * A_re - zim[None, :] * A_im + B_re
+        t_im = zre[None, :] * A_im + zim[None, :] * A_re + B_im
+        w_re = g0_re * t_re - g0_im * t_im
+        w_im = g0_re * t_im + g0_im * t_re
+        dd_ref[:, n:n + 1] = -jnp.sum(g0_re * w_re - g0_im * w_im,
+                                      axis=1, keepdims=True)
+        dc_ref[:, n:n + 1] = -jnp.sum(g1_re * w_re - g1_im * w_im,
+                                      axis=1, keepdims=True)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int, value=0.0) -> jnp.ndarray:
