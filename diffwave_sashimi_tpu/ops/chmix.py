@@ -75,12 +75,17 @@ def _choose_st_bwd(S: int, H: int, F: int, Rc: int) -> int:
 
 def _bmm(w, x, tmp):
     """(O, H) @ (S_t, H, Rc) -> (S_t, O, Rc): weight broadcast over the
-    row batch; contraction over the channel (sublane) dim, no relayout."""
+    row batch; contraction over the channel (sublane) dim, no relayout.
+    Strict mode (tmp == f32) pins HIGHEST precision — DEFAULT would still
+    run bf16 MXU passes on f32 operands."""
     St = x.shape[0]
+    prec = (jax.lax.Precision.DEFAULT if tmp == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     wb = jnp.broadcast_to(w.astype(tmp), (St,) + w.shape)
     return jax.lax.dot_general(wb, x.astype(tmp),
                                (((2,), (1,)), ((0,), (0,))),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
 
 
 def _glu_kernel(y_ref, r_ref, w_ref, b_ref, o_ref, *, fast: bool):

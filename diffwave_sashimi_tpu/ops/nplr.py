@@ -25,7 +25,20 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+
+
+# All contractions in this module run at HIGHEST precision: they execute
+# once at init / kernel setup, and the repeated-squaring chains (dA^L via
+# ~14 squarings at L=16000) amplify bf16 MXU rounding exponentially — a
+# DEFAULT-precision dA^L made on-TPU C~ inits untrainable garbage while
+# CPU inits were fine (found via same-seed loss-trajectory bisection).
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
 
 
 def _conj(x: jnp.ndarray) -> jnp.ndarray:
@@ -53,8 +66,8 @@ def discretize(w: jnp.ndarray, P: jnp.ndarray, B: jnp.ndarray,
     E = 2.0 / dt[:, None] + w                               # (H, N)
     # R = (I_r + 2 Re(Q D P^T))^{-1} Q D  (ref models/s4.py:833-841)
     R_mat = jnp.eye(R_rank, dtype=w.dtype) \
-        + 2.0 * jnp.einsum("rhn,hn,shn->hrs", Q, D, P).real.astype(w.dtype)
-    QD = jnp.einsum("rhn,hn->hrn", Q, D)                    # (H, R, N)
+        + 2.0 * jnp.einsum("rhn,hn,shn->hrs", Q, D, P, precision=_HI).real.astype(w.dtype)
+    QD = jnp.einsum("rhn,hn->hrn", Q, D, precision=_HI)                    # (H, R, N)
     if R_rank == 1:
         # scalar 'solve' — avoids complex linalg, which TPU doesn't lower
         Rs = QD / R_mat[..., :1]                            # (H, 1, N)
@@ -68,9 +81,9 @@ def discretize(w: jnp.ndarray, P: jnp.ndarray, B: jnp.ndarray,
 
     def linear_step(state: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         # state: (..., H, 2N); u: (H,)
-        ns = Ec * state - jnp.einsum("rhn,rhm,...hm->...hn", Pc, Qc, state)
+        ns = Ec * state - jnp.einsum("rhn,rhm,...hm->...hn", Pc, Qc, state, precision=_HI)
         ns = ns + 2.0 * Bc * u[:, None]
-        return Dc * (ns - jnp.einsum("rhn,rhm,...hm->...hn", Pc, Rc, ns))
+        return Dc * (ns - jnp.einsum("rhn,rhm,...hm->...hn", Pc, Rc, ns, precision=_HI))
 
     H, N = w.shape
     twoN = 2 * N
@@ -92,10 +105,10 @@ def matrix_power(L: int, A: jnp.ndarray) -> jnp.ndarray:
     l = L
     while l > 0:
         if l % 2 == 1:
-            out = base @ out
+            out = _mm(base, out)
         l //= 2
         if l > 0:
-            base = base @ base
+            base = _mm(base, base)
     return out
 
 
@@ -114,17 +127,17 @@ def power_contract(L: int, A: jnp.ndarray, v: jnp.ndarray
     l_rem, l = L, 1
     while True:
         if l_rem % 2 == 1:
-            I = powers[-1] @ I
+            I = _mm(powers[-1], I)
         l_rem //= 2
         if l_rem == 0:
             break
         l *= 2
-        powers.append(powers[-1] @ powers[-1])
+        powers.append(_mm(powers[-1], powers[-1]))
 
     # fold the non-power-of-two tail: v[..., l:] gets an extra A^l
     k = v.shape[-1] - l
     if k > 0:
-        v_tail = jnp.einsum("...mn,...nl->...ml", powers[-1], v[..., l:])
+        v_tail = jnp.einsum("...mn,...nl->...ml", powers[-1], v[..., l:], precision=_HI)
         v = v[..., :l]
         v = v.at[..., :k].add(v_tail)
     powers.pop()
@@ -132,7 +145,8 @@ def power_contract(L: int, A: jnp.ndarray, v: jnp.ndarray
         half = v.shape[-1] // 2
         v = v.reshape(v.shape[:-1] + (2, half))
         v = v[..., 0, :] + jnp.einsum("...mn,...nl->...ml",
-                                      powers.pop(), v[..., 1, :])
+                                      powers.pop(), v[..., 1, :],
+                                      precision=_HI)
     return I, v[..., 0]
 
 
@@ -144,7 +158,7 @@ def setup_C(C: jnp.ndarray, dA: jnp.ndarray, L: int) -> jnp.ndarray:
     dA_L = matrix_power(L, dA)                              # (H, 2N, 2N)
     C_full = _conj(C)                                       # (c, H, 2N)
     prod = jnp.einsum("hmn,chn->chm",
-                      jnp.swapaxes(dA_L, -1, -2), C_full)
+                      jnp.swapaxes(dA_L, -1, -2), C_full, precision=_HI)
     C_new = C_full - prod
     return C_new[..., : C.shape[-1]]
 
@@ -160,7 +174,8 @@ def extend_C(C_tilde: jnp.ndarray, dA: jnp.ndarray, L_cur: int,
         dA_L = matrix_power(L_cur, dA)
         C_full = _conj(C_tilde)
         prod = jnp.einsum("hmn,chn->chm",
-                          jnp.swapaxes(dA_L, -1, -2), C_full)
+                          jnp.swapaxes(dA_L, -1, -2), C_full,
+                          precision=_HI)
         C_full = C_full + prod
         C_tilde = C_full[..., : C_tilde.shape[-1]]
         L_cur *= 2

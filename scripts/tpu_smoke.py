@@ -120,6 +120,24 @@ def main():
                                    jax.device_put(u_s4))
     check("S4 forward TPU vs CPU", dev_rel_err(y_tpu, y_cpu), 1e-2)
 
+    # 5. init-time matrix powers vs f64 oracle: dA^L at DEFAULT precision
+    # (bf16 MXU) once made on-TPU C~ inits untrainable garbage — ops/nplr
+    # pins HIGHEST; this guards the pin on real hardware
+    from diffwave_sashimi_tpu.ops.nplr import matrix_power
+    rngp = np.random.RandomState(5)
+    # contractive random A (like dA): spectral radius < 1
+    Araw = (rngp.randn(4, 32, 32) + 1j * rngp.randn(4, 32, 32)) / 32
+    A = Araw * 0.9998 / np.abs(np.linalg.eigvals(Araw)).max()
+    AL_ref = np.linalg.matrix_power(A.astype(np.complex128), 16000)
+    # complex H2D is UNIMPLEMENTED on this backend: ship planes
+    AL = jax.jit(lambda ar, ai: (lambda m: jnp.stack([m.real, m.imag]))(
+        matrix_power(16000, jax.lax.complex(ar, ai))))(
+        jnp.asarray(A.real.astype(np.float32)),
+        jnp.asarray(A.imag.astype(np.float32)))
+    AL_np = np.asarray(AL[0]) + 1j * np.asarray(AL[1])
+    err = np.abs(AL_np - AL_ref).max() / max(np.abs(AL_ref).max(), 1e-12)
+    check("init matrix_power dA^16000 vs f64", err, 1e-3)
+
     if FAILURES:
         print(f"FAILED: {FAILURES}", flush=True)
         sys.exit(1)
