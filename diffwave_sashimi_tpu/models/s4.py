@@ -310,7 +310,8 @@ class SSKernelNPLR(nn.Module):
         s = nplr_conj(state)                               # (..., H, 2N)
         v = dB[:, :, None] * jnp.flip(u, -1)[..., None, :].astype(dA.dtype)
         AL, v = power_contract(u.shape[-1], dA, v)         # (..., H, 2N)
-        next_state = jnp.einsum("hmn,...hn->...hm", AL, s) + v
+        next_state = jnp.einsum("hmn,...hn->...hm", AL, s,
+                                precision=jax.lax.Precision.HIGHEST) + v
         return next_state[..., : state.shape[-1]]
 
 
