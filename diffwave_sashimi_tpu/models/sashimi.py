@@ -504,7 +504,14 @@ class Sashimi(nn.Module):
             L_deep //= p
         # deepest tier needs n = fft_size(2*L) >= 2048 so that R=256 holds
         # at every tier (layout compat across pools)
-        return L_deep >= 513
+        if L_deep < 513:
+            return False
+        # top tier must fit the fused kernel's VMEM frame: at S >= 512
+        # (L > ~32k, e.g. the 44000-sample vocoder point) the S-sized DFT
+        # constants alone blow the 16 MB scoped limit — fall back to the
+        # v1 'fact' fused path there
+        n_top = 1 << (2 * self.L - 1).bit_length()
+        return n_top // 256 <= 256
 
     def compute_kernels(self, audio_length: int,
                         freq: bool = False) -> Dict[str, jnp.ndarray]:
@@ -565,9 +572,14 @@ class Sashimi(nn.Module):
                 and self.d_model % 8 == 0:
             # training-path fast conv: compute fused-conv kernels once per
             # step; gradients flow through compute_kernels (cauchy,
-            # Woodbury, irfft) and the conv's exact custom_vjp
-            mode = "v2" if self.v2_compatible(audio.shape[-1]) else "fact"
-            kernels = self.compute_kernels(audio.shape[-1], mode)
+            # Woodbury, irfft) and the conv's exact custom_vjp.  Very long
+            # segments (n > 2^16) exceed the fused kernels' VMEM frames:
+            # leave kernels=None so the blocks run the XLA conv path
+            n = 1 << (2 * audio.shape[-1] - 1).bit_length()
+            if self.v2_compatible(audio.shape[-1]):
+                kernels = self.compute_kernels(audio.shape[-1], "v2")
+            elif n <= 1 << 16:
+                kernels = self.compute_kernels(audio.shape[-1], "fact")
         compact = (self.block_scan and kernels is not None
                    and isinstance(next(iter(kernels.values())),
                                   (tuple, list)))

@@ -135,6 +135,11 @@ def choose_layout(L: int, n: int, H: int, R: Optional[int] = None,
         # (/tmp/hb_sweep.py 2026-08-17: tier1 HB=16 -21%, tier2/3 HB=32
         # -17%/-22% vs the old HB*S <= 512 picks).
         HB = 8
+        # long-L tiers (S >= 512, e.g. the 44000-sample vocoder point)
+        # exceed the 16 MB scoped-vmem frame even at the base HB = 8 —
+        # shrink first, then grow toward the measured sweet spot
+        while HB > 1 and H % HB == 0 and frame(HB) > 12 * 2 ** 20:
+            HB //= 2
         while HB < 32 and H % (HB * 2) == 0 \
                 and frame(HB * 2) <= 12 * 2 ** 20 and (HB * 2) * S <= 2048:
             HB *= 2

@@ -43,9 +43,22 @@ def precompute_kernels(model, params, audio_length: int):
     device->host readback of every kernel at lowering).
     """
     if isinstance(model, Sashimi):
-        # factorized kernels feed the fused Pallas FFT-conv on TPU
+        # v2 spectra feed the layout-native fused conv (whole-block fused
+        # sampling); 'fact' feeds the v1 fused conv for lengths outside
+        # the v2 gate; very long lengths (n > 2^16, e.g. the 44000-sample
+        # vocoder point) exceed both kernels' VMEM frames and fall back
+        # to the hoisted-frequency XLA path
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        mode = "fact" if (on_tpu and model.d_model % 8 == 0) else True
+        n = 1 << (2 * audio_length - 1).bit_length()
+        if on_tpu and model.d_model % 8 == 0:
+            if model.v2_compatible(audio_length):
+                mode = "v2"
+            elif n <= 1 << 16:
+                mode = "fact"
+            else:
+                mode = True
+        else:
+            mode = True
         return jax.jit(lambda p: model.apply(
             p, audio_length, mode, method=Sashimi.compute_kernels))(params)
     return None
