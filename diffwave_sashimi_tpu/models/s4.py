@@ -541,11 +541,14 @@ class S4(nn.Module):
     def v2_layout(self, L: int) -> fftconv2.Layout:
         """Compact layout for the v2 fused conv at generation length L.
         bf16 activations -> bf16 in-kernel temporaries (same numerics
-        class, halves the kernel's VMEM frame)."""
+        class, halves the kernel's VMEM frame).  Strict mode
+        (fftconv_pallas.set_fast(False)) runs the chain in f32, so the
+        layout must budget f32 frames there or HB overflows scoped VMEM."""
         L_kernel = L if not self.l_max else min(L, self.l_max)
-        return fftconv2.choose_layout(L, _fft_size(L_kernel + L),
-                                      self.d_model,
-                                      bf16=self.dtype == jnp.bfloat16)
+        return fftconv2.choose_layout(
+            L, _fft_size(L_kernel + L), self.d_model,
+            bf16=(self.dtype == jnp.bfloat16
+                  and fftconv_pallas.FAST["enabled"]))
 
     def compute_kernel_v2(self, L: int):
         """(kfr, kfi) c-folded spectrum tiles for the v2 layout-native
