@@ -132,6 +132,7 @@ class DiffWaveBlock(nn.Module):
     diffusion_step_embed_dim_out: int = 512
     unconditional: bool = True
     mel_upsample: Sequence[int] = (16, 16)
+    dropout: float = 0.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -140,7 +141,7 @@ class DiffWaveBlock(nn.Module):
         self.fc_t = TorchLinear(self.diffusion_step_embed_dim_out,
                                 self.d_model, name="fc_t", **kw)
         self.s4 = S4(d_model=self.d_model, l_max=self.L, bidirectional=True,
-                     name="s4", **kw)
+                     dropout=self.dropout, name="s4", **kw)
         self.norm1 = TransposedLN(name="norm1", **kw)
         self.norm2 = TransposedLN(name="norm2", **kw)
         self.ff1 = WNConv1d(self.d_model, self.ff * self.d_model,
@@ -299,6 +300,7 @@ class _ScanBlock(nn.Module):
     diffusion_step_embed_dim_out: int = 512
     unconditional: bool = True
     mel_upsample: Sequence[int] = (16, 16)
+    dropout: float = 0.0
     emit_skip: bool = False
     consume_skip: bool = False
     dtype: Dtype = jnp.float32
@@ -309,7 +311,7 @@ class _ScanBlock(nn.Module):
             d_model=self.d_model, L=self.L, ff=self.ff,
             diffusion_step_embed_dim_out=self.diffusion_step_embed_dim_out,
             unconditional=self.unconditional,
-            mel_upsample=tuple(self.mel_upsample),
+            mel_upsample=tuple(self.mel_upsample), dropout=self.dropout,
             dtype=self.dtype, param_dtype=self.param_dtype, name="block")
 
     def __call__(self, carry, kernel, skip, embed, mel_spec, train=False):
@@ -352,6 +354,7 @@ class Sashimi(nn.Module):
     diffusion_step_embed_dim_out: int = 512
     unconditional: bool = True
     mel_upsample: Sequence[int] = (16, 16)
+    dropout: float = 0.0
     L: int = 16000
     block_scan: bool = True  # nn.scan stages (stacked params, 1-block compile)
     remat: bool = False   # jax.checkpoint each block (memory <-> recompute)
@@ -363,7 +366,8 @@ class Sashimi(nn.Module):
         bkw = dict(ff=self.ff,
                    diffusion_step_embed_dim_out=self.diffusion_step_embed_dim_out,
                    unconditional=self.unconditional,
-                   mel_upsample=tuple(self.mel_upsample), **kw)
+                   mel_upsample=tuple(self.mel_upsample),
+                   dropout=self.dropout, **kw)
 
         self.init_conv = WNConv1d(self.in_channels, self.d_model,
                                   kernel_size=1, name="init_conv", **kw)

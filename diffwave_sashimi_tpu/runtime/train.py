@@ -69,15 +69,25 @@ def make_optimizer(learning_rate: float, s4_lr: Optional[float] = None):
 
 
 def make_train_step(model, optimizer, schedule):
-    """One jitted step: (params, opt_state, batch, mel, rng) -> (..., loss)."""
+    """One jitted step: (params, opt_state, batch, mel, rng) -> (..., loss).
+
+    ``mel`` is threaded into the loss (reference train.py:134
+    ``training_loss(..., mel_spec=mel_spectrogram)``) so conditional
+    (vocoder) training actually conditions; a dropout PRNG is split off and
+    passed through so ``dropout > 0`` configs are stochastic rather than
+    silently deterministic.
+    """
 
     def apply_fn(p, x, t, mel=None, **kw):
         return model.apply(p, x, t, mel, train=True, **kw)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, audio, mel, rng):
+        loss_rng, model_rng = jax.random.split(rng)
+
         def loss_fn(p):
-            return training_loss(apply_fn, p, audio, schedule, rng)
+            return training_loss(apply_fn, p, audio, schedule, loss_rng,
+                                 mel_spec=mel, model_rng=model_rng)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = optimizer.update(grads, opt_state, params)
         params2 = optax.apply_updates(params, updates)
@@ -185,9 +195,12 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
                                wandb_cfg, run_config, enabled=main_proc)
         n_iter = start_iter
         t_start = time.time()
+        # per-iteration epoch-loss accumulation (ref train.py:141,189-191)
+        # kept on-device: a jitted add per step instead of a D2H per step
+        acc_add = jax.jit(lambda a, b: a + b)
         try:
             while n_iter < n_iters + 1:
-                epoch_loss, epoch_batches = 0.0, 0
+                epoch_loss, epoch_batches = None, 0
                 try:
                     from tqdm import tqdm
                     epoch_iter = tqdm(
@@ -207,11 +220,12 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
 
                     params, opt_state, loss = step_fn(params, opt_state,
                                                       audio, mel, step_rng)
+                    epoch_loss = (loss if epoch_loss is None
+                                  else acc_add(epoch_loss, loss))
+                    epoch_batches += 1
 
                     if n_iter % iters_per_logging == 0:
                         loss_v = float(loss)
-                        epoch_loss += loss_v
-                        epoch_batches += 1
                         dur = time.time() - t_start
                         logger.log({"train/loss": loss_v,
                                     "train/log_loss": float(np.log(max(loss_v, 1e-12))),
@@ -253,7 +267,8 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
                         break
                 if epoch_batches:
                     logger.log({"train/loss_epoch":
-                                epoch_loss / epoch_batches}, step=n_iter)
+                                float(epoch_loss) / epoch_batches},
+                               step=n_iter)
                 if max_seconds and time.time() - t_start > max_seconds:
                     break
         finally:

@@ -56,6 +56,15 @@ def test_vocoder_train_and_generate(lj_tiny, tmp_path, monkeypatch):
     assert out.shape[2] == (2048 // 16 + 1) * 16
     assert np.isfinite(out).all()
 
+    # the conditioning must actually move the output: same checkpoint,
+    # same sampling seed (=> identical noise draws), different mel
+    # (all tiny wavs are 2048 samples so audio_length matches)
+    out_other = generate(cfg.diffusion, cfg.model, cfg.dataset,
+                         ckpt_iter="max", n_samples=1, mel_name="LJ001")
+    assert out_other.shape == out.shape
+    assert np.abs(out - out_other).max() > 1e-7, \
+        "generated audio is insensitive to the mel conditioning"
+
     # precomputed-spectrogram conditioning (mel_path)
     from diffwave_sashimi_tpu.data.mel2samp import main as mel_main
     mel_main(TINY + [f"dataset.data_path={lj_tiny}", "+output_dir=mels"])
