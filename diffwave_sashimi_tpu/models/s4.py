@@ -479,6 +479,9 @@ class S4(nn.Module):
     linear: bool = False                 # drop all pointwise components
     deterministic_init: bool = False
     cauchy: str = "auto"
+    v2_R: Optional[int] = None    # layout-family R for the fused conv
+    #   (threaded from the network top tier so pooled tiers share one
+    #   compact layout; None = derive from this layer's own n)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -546,7 +549,7 @@ class S4(nn.Module):
         layout must budget f32 frames there or HB overflows scoped VMEM."""
         L_kernel = L if not self.l_max else min(L, self.l_max)
         return fftconv2.choose_layout(
-            L, _fft_size(L_kernel + L), self.d_model,
+            L, _fft_size(L_kernel + L), self.d_model, R=self.v2_R,
             bf16=(self.dtype == jnp.bfloat16
                   and fftconv_pallas.FAST["enabled"]))
 

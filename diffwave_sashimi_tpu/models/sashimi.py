@@ -133,6 +133,7 @@ class DiffWaveBlock(nn.Module):
     unconditional: bool = True
     mel_upsample: Sequence[int] = (16, 16)
     dropout: float = 0.0
+    v2_R: Optional[int] = None    # top-tier layout R (see S4.v2_R)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -141,7 +142,7 @@ class DiffWaveBlock(nn.Module):
         self.fc_t = TorchLinear(self.diffusion_step_embed_dim_out,
                                 self.d_model, name="fc_t", **kw)
         self.s4 = S4(d_model=self.d_model, l_max=self.L, bidirectional=True,
-                     dropout=self.dropout, name="s4", **kw)
+                     dropout=self.dropout, v2_R=self.v2_R, name="s4", **kw)
         self.norm1 = TransposedLN(name="norm1", **kw)
         self.norm2 = TransposedLN(name="norm2", **kw)
         self.ff1 = WNConv1d(self.d_model, self.ff * self.d_model,
@@ -154,13 +155,31 @@ class DiffWaveBlock(nn.Module):
             self.mel_conv = WNConv1d(80, self.d_model, kernel_size=1,
                                      name="mel_conv", **kw)
 
+    def compute_mel_cond(self, mel_spec: jnp.ndarray, L_gen: int,
+                         compact: bool) -> jnp.ndarray:
+        """This block's mel conditioning term ``mel_conv(upsample(mel))`` —
+        a pure function of (mel, params), independent of the diffusion
+        step, so the sampling loop computes it ONCE for all T steps (the
+        reference recomputes the ConvTranspose upsample chain in every
+        block of every step, models/sashimi.py:160-175)."""
+        assert not self.unconditional
+        if compact:
+            from ..ops import fftconv2
+            lay = self.s4.v2_layout(self.L)
+            mel = self.mel_upsampler(mel_spec, lay.L)
+            mel = fftconv2.to_compact(mel, lay).astype(self.dtype)
+        else:
+            mel = self.mel_upsampler(mel_spec, L_gen)
+        return self.mel_conv(mel)
+
     def __call__(self, x: jnp.ndarray, step_embed: jnp.ndarray,
                  mel_spec: Optional[jnp.ndarray] = None,
                  kernel: Optional[jnp.ndarray] = None,
                  train: bool = False,
                  stats: Optional[tuple] = None,
                  skip: Optional[jnp.ndarray] = None,
-                 emit_stats: bool = False):
+                 emit_stats: bool = False,
+                 mel_cond: Optional[jnp.ndarray] = None):
         """Returns y, or (y, (mean, var)) of y over channels when
         ``emit_stats`` (the stats ride the block-scan carry so the next
         block's norm1 costs no extra HBM pass).  ``stats`` is this
@@ -181,13 +200,11 @@ class DiffWaveBlock(nn.Module):
             bias = self.fc_t(step_embed)
             y = y + bias[:, None, :, None]
             res = x
-            if mel_spec is not None:
-                assert not self.unconditional
-                from ..ops import fftconv2
-                lay = self.s4.v2_layout(self.L)
-                mel = self.mel_upsampler(mel_spec, lay.L)
-                mel = fftconv2.to_compact(mel, lay).astype(x.dtype)
-                res = res + self.mel_conv(mel)
+            if mel_cond is not None:
+                res = res + mel_cond.astype(x.dtype)
+            elif mel_spec is not None:
+                res = res + self.compute_mel_cond(
+                    mel_spec, x.shape[-1], True).astype(x.dtype)
             x2 = self.s4(y, kernel=kernel, train=True, residual=res)
             out = chmix.ln_ff_res_train(
                 x2, self.norm2.m, self.norm2.s,
@@ -216,13 +233,11 @@ class DiffWaveBlock(nn.Module):
             a = self.norm1.s.astype(jnp.float32) * jax.lax.rsqrt(var)
             cshift = (self.norm1.m.astype(jnp.float32) - mean) * a
             res = x
-            if mel_spec is not None:
-                assert not self.unconditional
-                from ..ops import fftconv2
-                lay = self.s4.v2_layout(self.L)
-                mel = self.mel_upsampler(mel_spec, lay.L)
-                mel = fftconv2.to_compact(mel, lay).astype(x.dtype)
-                res = res + self.mel_conv(mel)
+            if mel_cond is not None:
+                res = res + mel_cond.astype(x.dtype)
+            elif mel_spec is not None:
+                res = res + self.compute_mel_cond(
+                    mel_spec, x.shape[-1], True).astype(x.dtype)
             x = self.s4(x, kernel=kernel, train=train, residual=res,
                         prologue=(a, cshift, bias))
             fast = fftconv_pallas.FAST["enabled"]
@@ -240,16 +255,10 @@ class DiffWaveBlock(nn.Module):
         bias = self.fc_t(step_embed)
         y = y + (bias[:, None, :, None] if compact else bias[:, :, None])
         y = self.s4(y, kernel=kernel, train=train)
-        if mel_spec is not None:
-            assert not self.unconditional
-            if compact:
-                from ..ops import fftconv2
-                lay = self.s4.v2_layout(self.L)
-                mel = self.mel_upsampler(mel_spec, lay.L)
-                mel = fftconv2.to_compact(mel, lay).astype(y.dtype)
-            else:
-                mel = self.mel_upsampler(mel_spec, y.shape[-1])
-            y = y + self.mel_conv(mel)
+        if mel_cond is not None:
+            y = y + mel_cond.astype(y.dtype)
+        elif mel_spec is not None:
+            y = y + self.compute_mel_cond(mel_spec, y.shape[-1], compact)
         x = x + y
         y = self.norm2(x)
         y = self.ff2(jax.nn.gelu(self.ff1(y), approximate=False))
@@ -301,6 +310,7 @@ class _ScanBlock(nn.Module):
     unconditional: bool = True
     mel_upsample: Sequence[int] = (16, 16)
     dropout: float = 0.0
+    v2_R: Optional[int] = None
     emit_skip: bool = False
     consume_skip: bool = False
     dtype: Dtype = jnp.float32
@@ -312,27 +322,29 @@ class _ScanBlock(nn.Module):
             diffusion_step_embed_dim_out=self.diffusion_step_embed_dim_out,
             unconditional=self.unconditional,
             mel_upsample=tuple(self.mel_upsample), dropout=self.dropout,
+            v2_R=self.v2_R,
             dtype=self.dtype, param_dtype=self.param_dtype, name="block")
 
-    def __call__(self, carry, kernel, skip, embed, mel_spec, train=False):
+    def __call__(self, carry, kernel, skip, embed, mel_spec, mel_cond,
+                 train=False):
         x, mean, var = carry
         emitted = x if self.emit_skip else None
         y, (mo, vo) = self.block(
             x, embed, mel_spec, kernel, train, (mean, var),
-            skip if self.consume_skip else None, True)
+            skip if self.consume_skip else None, True, mel_cond)
         return (y, mo, vo), emitted
 
 
 def _make_stack(n: int, remat: bool, **cfg):
-    # static_argnums: `train` (index 6 counting the module instance as 0)
+    # static_argnums: `train` (index 7 counting the module instance as 0)
     # must stay a Python bool under jax.checkpoint — it selects code paths
     # (fused-GELU vs plain conv, dropout) inside S4.
-    cls = nn.remat(_ScanBlock, static_argnums=(6,)) if remat else _ScanBlock
+    cls = nn.remat(_ScanBlock, static_argnums=(7,)) if remat else _ScanBlock
     scan = nn.scan(
         cls,
         variable_axes={"params": 0},
         split_rngs={"params": True, "dropout": True},
-        in_axes=(0, 0, nn.broadcast, nn.broadcast, nn.broadcast),
+        in_axes=(0, 0, nn.broadcast, nn.broadcast, 0, nn.broadcast),
         out_axes=0,
         length=n)
     return scan(**cfg)
@@ -367,7 +379,7 @@ class Sashimi(nn.Module):
                    diffusion_step_embed_dim_out=self.diffusion_step_embed_dim_out,
                    unconditional=self.unconditional,
                    mel_upsample=tuple(self.mel_upsample),
-                   dropout=self.dropout, **kw)
+                   dropout=self.dropout, v2_R=self._v2R(), **kw)
 
         self.init_conv = WNConv1d(self.in_channels, self.d_model,
                                   kernel_size=1, name="init_conv", **kw)
@@ -466,6 +478,14 @@ class Sashimi(nn.Module):
         return d_L, c_L, u_L
 
     @nn.nowrap
+    def _v2R(self) -> int:
+        """Layout-family R shared by every tier's fused conv: derived
+        from the TOP tier's FFT size (ops/fftconv2.default_R) so pooled
+        tiers keep the parent layout (S/p, same R and Rc)."""
+        from ..ops import fftconv2
+        return fftconv2.default_R(1 << (2 * self.L - 1).bit_length())
+
+    @nn.nowrap
     def _block_template(self, H: int, L_trained: int) -> DiffWaveBlock:
         # parent=None: a detached template for raw-vmap application over the
         # stacked stage params (never bound into this module's tree)
@@ -473,7 +493,7 @@ class Sashimi(nn.Module):
             d_model=H, L=L_trained, ff=self.ff,
             diffusion_step_embed_dim_out=self.diffusion_step_embed_dim_out,
             unconditional=self.unconditional,
-            mel_upsample=tuple(self.mel_upsample),
+            mel_upsample=tuple(self.mel_upsample), v2_R=self._v2R(),
             dtype=self.dtype, param_dtype=self.param_dtype, parent=None)
 
     def _scan_stage_info(self, audio_length: int):
@@ -497,25 +517,37 @@ class Sashimi(nn.Module):
     def v2_compatible(self, audio_length: int) -> bool:
         """True when the whole forward can run in ONE channel-inner compact
         layout (ops/fftconv2): generation length == trained length, every
-        tier wide enough for the fixed-R layout, and channel counts
-        divisible by the kernel's channel blocking."""
+        tier's layout (shared family R, see :meth:`_v2R`) fits the fused
+        kernels' VMEM frame, and channel counts divide the kernel's
+        channel blocking.  Long top tiers (n > 2^16, e.g. the
+        44000-sample LJSpeech-harder point) get R = n/256 so S stays at
+        256 and the frame fits (ops/fftconv2.default_R)."""
         if not self.block_scan or audio_length != self.L:
             return False
         if self.d_model % 8 != 0:
             return False
-        L_deep = self.L
+        from ..ops import fftconv2
+        R = self._v2R()
+        H, L = self.d_model, self.L
+        tiers = [(H, L)]
         for p in self.pool:
-            L_deep //= p
-        # deepest tier needs n = fft_size(2*L) >= 2048 so that R=256 holds
-        # at every tier (layout compat across pools)
-        if L_deep < 513:
-            return False
-        # top tier must fit the fused kernel's VMEM frame: at S >= 512
-        # (L > ~32k, e.g. the 44000-sample vocoder point) the S-sized DFT
-        # constants alone blow the 16 MB scoped limit — fall back to the
-        # v1 'fact' fused path there
-        n_top = 1 << (2 * self.L - 1).bit_length()
-        return n_top // 256 <= 256
+            if L % p != 0:
+                return False
+            H, L = H * self.expand, L // p
+            tiers.append((H, L))
+        for Ht, Lt in tiers:
+            n_t = 1 << (2 * Lt - 1).bit_length()
+            if n_t // R < 8 or n_t % R != 0:
+                return False   # deepest tier's S below one sublane tile
+            lay = fftconv2.choose_layout(Lt, n_t, Ht, R=R,
+                                         bf16=self.dtype == jnp.bfloat16)
+            if not fftconv2.layout_feasible(lay):
+                return False
+            if lay.Rc != fftconv2.choose_layout(
+                    self.L, 1 << (2 * self.L - 1).bit_length(),
+                    self.d_model, R=R).Rc:
+                return False   # pooled reshape requires one Rc family-wide
+        return True
 
     def compute_kernels(self, audio_length: int,
                         freq: bool = False) -> Dict[str, jnp.ndarray]:
@@ -564,10 +596,39 @@ class Sashimi(nn.Module):
                 kernels[mod.name] = get(mod, L)
         return kernels
 
+    def compute_mel_conds(self, mel_spec: jnp.ndarray, audio_length: int,
+                          compact: bool = True) -> Dict[str, jnp.ndarray]:
+        """Per-stage mel conditioning terms, stacked over blocks like
+        :meth:`compute_kernels` — pure functions of (mel, params),
+        independent of the diffusion step, so the sampling loop computes
+        them once for all T steps instead of re-running every block's
+        ConvTranspose upsample chain 18x per step (this was ~95% of the
+        vocoder sampling step at the LJSpeech-harder point).
+
+        Returns {stage: (n_layers, B, S, H, Rc)} in compact layout (or
+        (n_layers, B, H, L) flat)."""
+        assert self.block_scan, "mel-cond hoisting requires block_scan"
+        conds: Dict[str, jnp.ndarray] = {}
+        for name, H, Lt, Lg in self._scan_stage_info(audio_length):
+            tmpl = self._block_template(H, Lt)
+            stacked = self.variables["params"][name]["block"]
+
+            def one(p, tmpl=tmpl, Lg=Lg):
+                return tmpl.apply({"params": p}, mel_spec, Lg, compact,
+                                  method=DiffWaveBlock.compute_mel_cond)
+
+            # sequential over blocks: the ConvTranspose upsample chain's
+            # transients are ~GB-class at long L — vmapping all n_layers
+            # at once has OOM'd 15.75 GB HBM at the LJSpeech-harder point
+            conds[name] = jax.lax.map(one, stacked)
+        return conds
+
     def __call__(self, audio: jnp.ndarray, diffusion_steps: jnp.ndarray,
                  mel_spec: Optional[jnp.ndarray] = None,
                  kernels: Optional[Dict[str, jnp.ndarray]] = None,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False,
+                 mel_conds: Optional[Dict[str, jnp.ndarray]] = None
+                 ) -> jnp.ndarray:
         assert audio.shape[-1] % int(
             math.prod(self.pool)) == 0, "audio length must divide the pooling"
 
@@ -595,7 +656,8 @@ class Sashimi(nn.Module):
             assert audio.shape[-1] == self.L, (audio.shape, self.L)
             from ..ops import fftconv2
             lay0 = fftconv2.choose_layout(
-                self.L, 1 << (2 * self.L - 1).bit_length(), self.d_model)
+                self.L, 1 << (2 * self.L - 1).bit_length(), self.d_model,
+                R=self._v2R())
             x = fftconv2.to_compact(x, lay0)
 
         x = jax.nn.relu(self.init_conv(x))
@@ -608,6 +670,10 @@ class Sashimi(nn.Module):
 
         if self.block_scan:
             kget = (lambda name: None) if kernels is None else kernels.get
+            cget = (lambda name: None) if mel_conds is None \
+                else mel_conds.get
+            if mel_conds is not None:
+                mel_spec = None      # hoisted conditioning replaces it
             fused = compact and not train
 
             def carry0(x):
@@ -628,14 +694,15 @@ class Sashimi(nn.Module):
                 if self.unet:
                     (x, _, _), emitted = self.d_stacks[si](
                         carry0(x), kget(f"d{si}_blocks"), None, embed,
-                        mel_spec, train)
+                        mel_spec, cget(f"d{si}_blocks"), train)
                     stage_skips.append(emitted)   # (n, B, H, L) pre-block xs
                 pool_skips.append(x)              # pre-DownPool
                 x = dp(x)
 
             c_pre = x
             (x, _, _), _ = self.c_stack(carry0(x), kget("c_blocks"), None,
-                                        embed, mel_spec, train)
+                                        embed, mel_spec, cget("c_blocks"),
+                                        train)
             x = x + c_pre
 
             n_stages = len(self.d_pools)
@@ -649,7 +716,7 @@ class Sashimi(nn.Module):
                     skips = jnp.flip(stage_skips[n_stages - 1 - si], axis=0)
                 (x, _, _), _ = self.u_stacks[si](
                     carry0(x), kget(f"u{si}_blocks"), skips, embed,
-                    mel_spec, train)
+                    mel_spec, cget(f"u{si}_blocks"), train)
 
             x = self.norm(x)
             x = jax.nn.relu(self.final_conv1(x))

@@ -77,15 +77,28 @@ def _bmm(w, x, tmp):
     """(O, H) @ (S_t, H, Rc) -> (S_t, O, Rc): weight broadcast over the
     row batch; contraction over the channel (sublane) dim, no relayout.
     Strict mode (tmp == f32) pins HIGHEST precision — DEFAULT would still
-    run bf16 MXU passes on f32 operands."""
+    run bf16 MXU passes on f32 operands.
+
+    Rc > 128 is split into 128-lane chunks: Mosaic's vector-layout pass
+    crashes ("limits[i] <= dim(i)") on this batched dot_general whenever
+    the rhs minor dim spans multiple lane tiles (hit by the Rc=256
+    long-L layout family; chunks are tile-aligned so the split is free).
+    """
     St = x.shape[0]
     prec = (jax.lax.Precision.DEFAULT if tmp == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
     wb = jnp.broadcast_to(w.astype(tmp), (St,) + w.shape)
-    return jax.lax.dot_general(wb, x.astype(tmp),
-                               (((2,), (1,)), ((0,), (0,))),
-                               preferred_element_type=jnp.float32,
-                               precision=prec)
+    xc = x.astype(tmp)
+    Rc = x.shape[2]
+
+    def one(sl):
+        return jax.lax.dot_general(wb, sl, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+    if Rc <= 128:
+        return one(xc)
+    return jnp.concatenate(
+        [one(xc[:, :, i:i + 128]) for i in range(0, Rc, 128)], axis=2)
 
 
 def _glu_kernel(y_ref, r_ref, w_ref, b_ref, o_ref, *, fast: bool):

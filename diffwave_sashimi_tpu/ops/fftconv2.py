@@ -91,6 +91,38 @@ class Layout(NamedTuple):
         return self.S // 2 + 1
 
 
+def default_R(n: int) -> int:
+    """Layout-family major factor for FFT size n.
+
+    R is shared by EVERY tier of a network (a UNet tier pooled by p then
+    has exactly the parent layout with S/p and the same Rc, so pooling is
+    a pure sublane reshape) — so it must be derived from the TOP tier's n
+    and threaded down (S4.v2_R).  R=256 is the measured winner at the
+    SaShiMi 16k tiers on v5e (scripts/conv_bench.py); for longer top
+    tiers (n > 2^16, e.g. the 44000-sample LJSpeech-harder point) S is
+    capped at 256 by growing R, which keeps the S-sized DFT constants and
+    (S*HB, R) temporaries inside the 16 MB scoped-VMEM frame where the
+    fixed-R=256 family (S = n/256 >= 512) cannot fit."""
+    return max(min(256, n // 8), n // 256)
+
+
+def _frame_bytes(S: int, R: int, Rc: int, Q: int, hb: int, itm: int,
+                 BB: int) -> int:
+    """Estimated per-program VMEM frame: double-buffered io tiles +
+    kernel-spectrum tiles + ~6 live (S*HB, R) temporaries + DFT
+    constants.  Mosaic's true frame runs ~1.4x this (extra pipeline
+    buffers); the 12 MB budget below keeps the observed frame under the
+    16 MB scoped-vmem limit."""
+    io = 4 * S * hb * Rc * itm * BB     # in+out, double-buffered
+    kf = 2 * Q * hb * R * 4             # spectrum pair (f32)
+    tmps = 6 * S * hb * R * itm * BB
+    consts = (4 * Rc * R + 4 * S * R + 8 * Q * S + S * Rc) * 4
+    return io + kf + tmps + consts
+
+
+_FRAME_BUDGET = 12 * 2 ** 20
+
+
 def choose_layout(L: int, n: int, H: int, R: Optional[int] = None,
                   HB: Optional[int] = None, bf16: bool = False,
                   BB: int = 1) -> Layout:
@@ -98,15 +130,12 @@ def choose_layout(L: int, n: int, H: int, R: Optional[int] = None,
     ~8*n*(Rc + S) per channel with Rc ~= L/S, so S ~ sqrt(L) minimizes
     FLOPs; lane dims (R, Rc) want to be multiples of 128.
 
-    The default R is FIXED at 256 (n permitting) rather than per-tier
-    optimal: with R constant, a UNet tier pooled by p has exactly the
-    parent layout with S/p and the same Rc (n scales with L), so pooling
-    is a pure sublane reshape and activations stay in one layout across
-    the whole network.  R=256 ~ n/sqrt(L) is also the measured winner at
-    every SaShiMi tier on v5e (see scripts/conv_bench.py)."""
+    R defaults to the n-derived family factor (see :func:`default_R`);
+    networks whose tiers must share one layout thread the top tier's R
+    explicitly."""
     assert n & (n - 1) == 0 and n >= 256, n
     if R is None:
-        R = min(256, n // 8)
+        R = default_R(n)
     S = n // R
     Rc = -(-L // S)  # ceil: lanes needed to cover L
     # round Rc up to a power of two (tile-friendly), capped at R
@@ -115,36 +144,38 @@ def choose_layout(L: int, n: int, H: int, R: Optional[int] = None,
     assert Rc * S >= L, (Rc, S, L)
     Q = S // 2 + 1
     if HB is None:
-        # grow the per-program channel batch while the estimated VMEM frame
-        # (double-buffered io tiles + kernel-spectrum tiles + ~6 live
-        # (S*HB, R) temporaries + DFT constants) fits the 16 MB scoped
-        # limit with headroom
         itm = 2 if bf16 else 4
 
         def frame(hb: int) -> int:
-            io = 4 * S * hb * Rc * itm * BB     # in+out, double-buffered
-            kf = 2 * Q * hb * R * 4             # spectrum pair (f32)
-            tmps = 6 * S * hb * R * itm * BB
-            consts = (4 * Rc * R + 4 * S * R + 4 * Q * S + S * Rc) * 4
-            return io + kf + tmps + consts
+            return _frame_bytes(S, R, Rc, Q, hb, itm, BB)
 
-        # Mosaic's true frame runs ~1.4x this estimate (extra pipeline
-        # buffers); 10 MB here keeps the observed frame under the 16 MB
-        # scoped-vmem limit.  HB*S <= 2048, HB <= 32 is the measured
-        # sweet spot on v5e with the bf16 inter-stage chain
-        # (/tmp/hb_sweep.py 2026-08-17: tier1 HB=16 -21%, tier2/3 HB=32
-        # -17%/-22% vs the old HB*S <= 512 picks).
+        # HB*S <= 2048, HB <= 32 is the measured sweet spot on v5e with
+        # the bf16 inter-stage chain (/tmp/hb_sweep.py 2026-08-17: tier1
+        # HB=16 -21%, tier2/3 HB=32 -17%/-22% vs the old HB*S <= 512
+        # picks).  Long tiers shrink to fit the frame budget — straight
+        # to HB=1: 1 < HB < 8 puts a sub-tile sublane dim in the middle
+        # of every (S, HB, R) temporary, which Mosaic pads 4-8x (and has
+        # crashed its vector layout pass); HB=1 runs an all-2-D chain.
         HB = 8
-        # long-L tiers (S >= 512, e.g. the 44000-sample vocoder point)
-        # exceed the 16 MB scoped-vmem frame even at the base HB = 8 —
-        # shrink first, then grow toward the measured sweet spot
-        while HB > 1 and H % HB == 0 and frame(HB) > 12 * 2 ** 20:
-            HB //= 2
-        while HB < 32 and H % (HB * 2) == 0 \
-                and frame(HB * 2) <= 12 * 2 ** 20 and (HB * 2) * S <= 2048:
+        if frame(HB) > _FRAME_BUDGET or H % HB != 0:
+            HB = 1
+        while 1 <= HB < 32 and H % (HB * 2) == 0 \
+                and frame(HB * 2) <= _FRAME_BUDGET and (HB * 2) * S <= 2048:
             HB *= 2
+        if HB in (2, 4):
+            HB = 1
     assert H % HB == 0, (H, HB)
     return Layout(n=n, R=R, S=S, Rc=Rc, L=L, HB=HB, bf16=bf16, BB=BB)
+
+
+def layout_feasible(lay: Layout) -> bool:
+    """True when the fused kernels can run this layout: the VMEM frame
+    fits at the chosen HB and the sublane factor S holds at least one
+    f32 tile row block."""
+    itm = 2 if lay.bf16 else 4
+    return (lay.S >= 8
+            and _frame_bytes(lay.S, lay.R, lay.Rc, lay.Q, lay.HB, itm,
+                             lay.BB) <= _FRAME_BUDGET)
 
 
 def to_compact(x: jnp.ndarray, lay: Layout) -> jnp.ndarray:
@@ -371,28 +402,52 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref, *rest,
 
     mask = mask_ref[:, :].astype(tmp)                     # (S, Rc)
     Q2 = S // 2
-    Kfull = kfr_ref[0].reshape(Q, HB * R).astype(tmp)
+    if HB == 1:
+        Kfull = kfr_ref[0, :, 0].astype(tmp)              # (Q, R)
+        Ki = kfi_ref[0, :, 0][:Q2].astype(tmp)
+    else:
+        Kfull = kfr_ref[0].reshape(Q, HB * R).astype(tmp)
+        Ki = kfi_ref[0].reshape(Q, HB * R)[:Q2].astype(tmp)
     Kr = Kfull[:Q2]                                       # regular rows
-    Ki = kfi_ref[0].reshape(Q, HB * R)[:Q2].astype(tmp)
     Kn = Kfull[Q2:]                                       # (1, N) Nyquist
-    tr = twr[:, :][:, None, :].astype(tmp)
-    ti = twi[:, :][:, None, :].astype(tmp)
-    tmr = twmr[:, :][:, None, :].astype(tmp)
-    tmi = twmi[:, :][:, None, :].astype(tmp)
+    # HB == 1 keeps the whole chain 2-D ((S, R) tensors): a sub-tile
+    # channel dim in the middle of 3-D temporaries gets sublane-padded
+    # 8x by Mosaic (choose_layout never picks 1 < HB < 8)
+    if HB == 1:
+        tr = twr[:, :].astype(tmp)
+        ti = twi[:, :].astype(tmp)
+        tmr = twmr[:, :].astype(tmp)
+        tmi = twmi[:, :].astype(tmp)
+    else:
+        tr = twr[:, :][:, None, :].astype(tmp)
+        ti = twi[:, :][:, None, :].astype(tmp)
+        tmr = twmr[:, :][:, None, :].astype(tmp)
+        tmi = twmi[:, :][:, None, :].astype(tmp)
+
+    def chan3(t):
+        """(S, HB, R) view of an (S*HB, R) tensor (no-op at HB=1)."""
+        return t if HB == 1 else t.reshape(S, HB, R)
 
     # lay.BB > 1 unrolls independent per-batch-item chains so the
     # scheduler can overlap one chain's VPU stages with another's MXU time
     for bb in range(lay.BB):
-        x = u_ref[bb, :, 0].astype(f32)                   # (S, HB, Rc)
-        if pre:
-            x = (x * a_ref[bb][:, None, :] + c_ref[bb][:, None, :]
-                 + bias_ref[bb, 0][None, :, :])
-        x = x.astype(tmp) * mask[:, None, :]
-        xm = x.reshape(S * HB, Rc)
+        if HB == 1:
+            x = u_ref[bb, :, 0, 0].astype(f32)            # (S, Rc)
+            if pre:
+                x = x * a_ref[bb] + c_ref[bb] + bias_ref[bb, 0]
+            x = x.astype(tmp) * mask
+            xm = x
+        else:
+            x = u_ref[bb, :, 0].astype(f32)               # (S, HB, Rc)
+            if pre:
+                x = (x * a_ref[bb][:, None, :] + c_ref[bb][:, None, :]
+                     + bias_ref[bb, 0][None, :, :])
+            x = x.astype(tmp) * mask[:, None, :]
+            xm = x.reshape(S * HB, Rc)
 
         # S1: contract t1 lanes
-        Ar = mm(xm, drr[:, :]).reshape(S, HB, R)
-        Ai = mm(xm, dri[:, :]).reshape(S, HB, R)
+        Ar = chan3(mm(xm, drr[:, :]))
+        Ai = chan3(mm(xm, dri[:, :]))
         # twiddle (S, 1, R) broadcast over channels
         Br = (Ar * tr - Ai * ti).reshape(S, HB * R)
         Bi = (Ar * ti + Ai * tr).reshape(S, HB * R)
@@ -411,13 +466,19 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref, *rest,
 
         # iA packed: [Zr; Zi] = EsP @ Yp + AltP @ Ynyq
         Zp = mm(esp[:, :], Yp) + mm(altp[:, :], Ynyq)     # (2S, N)
-        Zr = Zp[:S].reshape(S, HB, R)
-        Zi = Zp[S:].reshape(S, HB, R)
+        Zr = chan3(Zp[:S])
+        Zi = chan3(Zp[S:])
         Tr = (Zr * tmr - Zi * tmi).reshape(S * HB, R)
         Ti = (Zr * tmi + Zi * tmr).reshape(S * HB, R)
 
         # iB: contract kr lanes, Re part, emit only t1 < Rc
         y = mm(Tr, err[:, :]) - mm(Ti, eri[:, :])         # (S*HB, Rc)
+        if HB == 1:
+            if post == "gelu_d":
+                y = y + d_ref[0] * x                      # + D * u skip
+                y = _gelu_fast(y) if fast else _gelu_exact(y)
+            out_ref[bb, :, 0, 0] = (y * mask).astype(out_ref.dtype)
+            continue
         y = y.reshape(S, HB, Rc)
 
         if post == "gelu_d":
@@ -558,16 +619,29 @@ def _dkf_kernel(u_ref, g_ref, drr, dri, twr, twi, dsp, alt8,
                        preferred_element_type=f32, precision=prec)
 
     mask = mask_ref[:, :]
-    tr = twr[:, :][:, None, :]
-    ti = twi[:, :][:, None, :]
-    tmr = twmr[:, :][:, None, :]
-    tmi = twmi[:, :][:, None, :]
+    # HB == 1: all-2-D chain (see _kernel — sub-tile middle dims padded)
+    if HB == 1:
+        tr, ti = twr[:, :], twi[:, :]
+        tmr, tmi = twmr[:, :], twmi[:, :]
+        x = u_ref[0, :, 0, 0].astype(f32) * mask
+        xm = x
+        gm = g_ref[0, :, 0, 0].astype(f32) * mask
+    else:
+        tr = twr[:, :][:, None, :]
+        ti = twi[:, :][:, None, :]
+        tmr = twmr[:, :][:, None, :]
+        tmi = twmi[:, :][:, None, :]
+        x = u_ref[0, :, 0].astype(f32) * mask[:, None, :]
+        xm = x.reshape(S * HB, Rc)
+        gm = (g_ref[0, :, 0].astype(f32) * mask[:, None, :]).reshape(
+            S * HB, Rc)
+
+    def chan3(t):
+        return t if HB == 1 else t.reshape(S, HB, R)
 
     # forward spectrum of u (same stages as _kernel)
-    x = u_ref[0, :, 0].astype(f32) * mask[:, None, :]
-    xm = x.reshape(S * HB, Rc)
-    Ar = mm(xm, drr[:, :]).reshape(S, HB, R)
-    Ai = mm(xm, dri[:, :]).reshape(S, HB, R)
+    Ar = chan3(mm(xm, drr[:, :]))
+    Ai = chan3(mm(xm, dri[:, :]))
     Br = (Ar * tr - Ai * ti).reshape(S, HB * R)
     Bi = (Ar * ti + Ai * tr).reshape(S, HB * R)
     Xp = mm(dsp[:, :], jnp.concatenate([Br, Bi], axis=0))   # (S, N)
@@ -575,10 +649,8 @@ def _dkf_kernel(u_ref, g_ref, drr, dri, twr, twi, dsp, alt8,
     Xr, Xi = Xp[:Q2], Xp[Q2:]
 
     # adjoint of the inverse chain applied to g
-    gm = (g_ref[0, :, 0].astype(f32) * mask[:, None, :]).reshape(
-        S * HB, Rc)
-    dTr = mm(gm, errt[:, :]).reshape(S, HB, R)              # g @ Err^T
-    dTi = -mm(gm, erit[:, :]).reshape(S, HB, R)
+    dTr = chan3(mm(gm, errt[:, :]))                         # g @ Err^T
+    dTi = chan3(-mm(gm, erit[:, :]))
     dZr = (dTr * tmr + dTi * tmi).reshape(S, HB * R)
     dZi = (-dTr * tmi + dTi * tmr).reshape(S, HB * R)
     dZp = jnp.concatenate([dZr, dZi], axis=0)               # (2S, N)
@@ -589,20 +661,29 @@ def _dkf_kernel(u_ref, g_ref, drr, dri, twr, twi, dsp, alt8,
     dKr = Xr * Gr + Xi * Gi                                 # (Q2, N)
     dKi = Xr * Gi - Xi * Gr
     dKn = (Xnyq * dYnyq)[:1]                                # (1, N)
-    dKrQ = jnp.concatenate([dKr, dKn], axis=0).reshape(
-        lay.Q, HB, R)
-    dKiQ = jnp.concatenate([dKi, jnp.zeros_like(dKn)], axis=0).reshape(
-        lay.Q, HB, R)
+    dKrQ = jnp.concatenate([dKr, dKn], axis=0)              # (Q, N)
+    dKiQ = jnp.concatenate([dKi, jnp.zeros_like(dKn)], axis=0)
+    if HB != 1:
+        dKrQ = dKrQ.reshape(lay.Q, HB, R)
+        dKiQ = dKiQ.reshape(lay.Q, HB, R)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        dkr_ref[0] = dKrQ
-        dki_ref[0] = dKiQ
+        if HB == 1:
+            dkr_ref[0, :, 0] = dKrQ
+            dki_ref[0, :, 0] = dKiQ
+        else:
+            dkr_ref[0] = dKrQ
+            dki_ref[0] = dKiQ
 
     @pl.when(pl.program_id(1) != 0)
     def _acc():
-        dkr_ref[0] += dKrQ
-        dki_ref[0] += dKiQ
+        if HB == 1:
+            dkr_ref[0, :, 0] += dKrQ
+            dki_ref[0, :, 0] += dKiQ
+        else:
+            dkr_ref[0] += dKrQ
+            dki_ref[0] += dKiQ
 
 
 def fftconv2_dkf(u: jnp.ndarray, g: jnp.ndarray, lay: Layout,

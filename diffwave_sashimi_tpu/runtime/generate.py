@@ -35,6 +35,21 @@ from ..data.wav import save_wav, load_wav_raw
 from .checkpoint import load_checkpoint, smooth_checkpoints
 
 
+def select_kernel_mode(model, audio_length: int, on_tpu: bool):
+    """Kernel-precompute mode for a generation length: "v2" (layout-native
+    fused conv — covers every feasible layout family incl. the
+    44000-sample LJSpeech-harder point via the adaptive-R layouts),
+    "fact" (v1 fused conv, n <= 2^16), or True (hoisted-frequency XLA
+    fallback)."""
+    n = 1 << (2 * audio_length - 1).bit_length()
+    if on_tpu and model.d_model % 8 == 0:
+        if model.v2_compatible(audio_length):
+            return "v2"
+        if n <= 1 << 16:
+            return "fact"
+    return True
+
+
 def precompute_kernels(model, params, audio_length: int):
     """Step-independent S4 kernels, computed once per generation length.
 
@@ -43,31 +58,37 @@ def precompute_kernels(model, params, audio_length: int):
     device->host readback of every kernel at lowering).
     """
     if isinstance(model, Sashimi):
-        # v2 spectra feed the layout-native fused conv (whole-block fused
-        # sampling); 'fact' feeds the v1 fused conv for lengths outside
-        # the v2 gate; very long lengths (n > 2^16, e.g. the 44000-sample
-        # vocoder point) exceed both kernels' VMEM frames and fall back
-        # to the hoisted-frequency XLA path
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        n = 1 << (2 * audio_length - 1).bit_length()
-        if on_tpu and model.d_model % 8 == 0:
-            if model.v2_compatible(audio_length):
-                mode = "v2"
-            elif n <= 1 << 16:
-                mode = "fact"
-            else:
-                mode = True
-        else:
-            mode = True
+        mode = select_kernel_mode(
+            model, audio_length,
+            jax.default_backend() in ("tpu", "axon"))
         return jax.jit(lambda p: model.apply(
             p, audio_length, mode, method=Sashimi.compute_kernels))(params)
     return None
 
 
-def apply_with_kernels(model, p, x, t, mel=None, kernels=None):
+def apply_with_kernels(model, p, x, t, mel=None, kernels=None,
+                       mel_conds=None):
+    if mel_conds is not None:
+        return model.apply(p, x, t, mel, kernels, mel_conds=mel_conds)
     if kernels is not None:
         return model.apply(p, x, t, mel, kernels)
     return model.apply(p, x, t, mel)
+
+
+def precompute_mel_conds(model, params, cond_dev, audio_length: int,
+                         kernels):
+    """Hoisted per-block mel conditioning (Sashimi block_scan only):
+    mel_conv(upsample(mel)) is step-independent, so computing it once
+    removes every block's ConvTranspose upsample chain from all T
+    sampling steps (it was ~95% of the vocoder step at L=44000)."""
+    if cond_dev is None or not isinstance(model, Sashimi) \
+            or not model.block_scan:
+        return None
+    compact = isinstance(kernels, dict) and isinstance(
+        next(iter(kernels.values())), (tuple, list))
+    return jax.jit(lambda p, m: model.apply(
+        p, m, audio_length, compact,
+        method=Sashimi.compute_mel_conds))(params, cond_dev)
 
 
 def resolve_condition(dataset_cfg, mel_path: Optional[str],
@@ -137,22 +158,23 @@ def generate(diffusion_cfg, model_cfg, dataset_cfg,
     kernels = precompute_kernels(model, params, audio_length)
     cond_dev = None if condition is None else jnp.asarray(
         np.repeat(condition, batch_size, axis=0))
-
-    def apply_fn(pp, x, t, mel=None, _k=None):
-        return apply_with_kernels(model, pp, x, t, mel, kernels=_k)
+    mel_conds = precompute_mel_conds(model, params, cond_dev, audio_length,
+                                     kernels)
+    if mel_conds is not None:
+        cond_dev = None   # hoisted conditioning replaces the per-step mel
 
     # One jitted STEP, dispatched T times from the host (pipelined): on the
     # axon backend a device-side lax.scan executes iterations ~100x slower
     # than the identical body as a top-level program (see sampling.py).
     shape = (batch_size, 1, audio_length)
     step_fn = make_sampling_step(
-        lambda p_and_k, x, t, mel: apply_fn(p_and_k[0], x, t, mel,
-                                            _k=p_and_k[1]),
+        lambda pkc, x, t, mel: apply_with_kernels(
+            model, pkc[0], x, t, mel, kernels=pkc[1], mel_conds=pkc[2]),
         shape, schedule)
 
     def run(p, k, cond, rng):
-        return sampling_pipelined(None, (p, k), shape, schedule, rng,
-                                  condition=cond, step_fn=step_fn)
+        return sampling_pipelined(None, (p, k, mel_conds), shape, schedule,
+                                  rng, condition=cond, step_fn=step_fn)
 
     key = jax.random.fold_in(jax.random.PRNGKey(seed), rank)
 

@@ -43,7 +43,15 @@ def build_step(ablate=()):
     if "glu" in ablate:
         chmix.mix_glu_res = lambda y, r, w, b, fast=True: y + r
     if "ff" in ablate:
-        chmix.ln_ff_res = lambda x, m, s, w1, b1, w2, b2, fast=True: x
+        def _ff_stub(x, m, s, w1, b1, w2, b2, fast=True, skip=None,
+                     emit_stats=False):
+            out = x if skip is None else x + skip
+            if emit_stats:
+                z = jnp.zeros(
+                    (out.shape[0], out.shape[1], out.shape[3]), jnp.float32)
+                return out, z, z
+            return out
+        chmix.ln_ff_res = _ff_stub
     if "conv" in ablate:
         # keep the prologue's inputs consumed so XLA can't DCE the stats
         f2.fftconv2_ln_bias_gelu_d = \

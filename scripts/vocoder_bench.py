@@ -32,19 +32,24 @@ def main():
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 1, L), jnp.float32),
         jnp.zeros((1,), jnp.int32), mel[:1])
-    from diffwave_sashimi_tpu.runtime.generate import precompute_kernels
+    from diffwave_sashimi_tpu.runtime.generate import (precompute_kernels,
+                                                       precompute_mel_conds)
     kernels = precompute_kernels(model, params, L)
-    print("kernels via runtime mode selection", flush=True)
+    mel_conds = precompute_mel_conds(model, params, mel, L, kernels)
+    print("kernels + hoisted mel conditioning via runtime selection",
+          flush=True)
     sched = diffusion_schedule(T=T, beta_0=1e-4, beta_T=0.05)
     step = make_sampling_step(
-        lambda pk, x, t, m: model.apply(pk[0], x, t, m, pk[1]),
+        lambda pk, x, t, m: model.apply(pk[0], x, t, m, pk[1],
+                                        mel_conds=pk[2]),
         (B, 1, L), sched)
     x = jnp.zeros((B, 1, L), jnp.float32)
     keys = jax.random.split(jax.random.PRNGKey(1), sched.T)
     sarr = jnp.stack([sched.alpha, sched.alpha_bar,
                       sched.sigma]).astype(jnp.float32)
     t0 = time.time()
-    out = step((params, kernels), x, mel, keys, sarr, np.int32(25))
+    out = step((params, kernels, mel_conds), x, None, keys, sarr,
+               np.int32(25))
     float(out.sum())
     print(f"first (incl compile) {time.time()-t0:.0f}s", flush=True)
 
@@ -52,7 +57,8 @@ def main():
         xx = x
         t0 = time.time()
         for i in range(k):
-            xx = step((params, kernels), xx, mel, keys, sarr, np.int32(25))
+            xx = step((params, kernels, mel_conds), xx, None, keys, sarr,
+                      np.int32(25))
         float(xx.sum())
         return time.time() - t0
 

@@ -92,6 +92,69 @@ def test_conv2_gelu_d_epilogue():
     np.testing.assert_allclose(y, y_ref, atol=2e-3, rtol=1e-3)
 
 
+def test_conv2_kernel_hb1_interpret():
+    """The all-2-D HB=1 kernel path (used by long-L tiers whose frame
+    only fits one channel per program, e.g. the 44000-sample vocoder
+    top tier) — interpret-mode kernel vs the XLA reference, with and
+    without the prologue/epilogue fusions."""
+    L, n, B, H = 1000, 2048, 2, 8
+    lay = f2.choose_layout(L, n, H, HB=1)
+    assert lay.HB == 1
+    rng = np.random.RandomState(3)
+    u = rng.randn(B, H, L).astype(np.float32)
+    k = rng.randn(H, n).astype(np.float32) * 0.3
+    d = rng.randn(H).astype(np.float32)
+    kfr, kfi = f2.kernel_spectrum(jnp.asarray(k), lay)
+    uc = f2.to_compact(jnp.asarray(u), lay)
+
+    y_ker = f2._conv2_impl(uc, kfr, kfi, None, lay, False, "none")
+    y_ref = f2.conv2_ref(uc, kfr, kfi, lay)
+    np.testing.assert_allclose(np.asarray(y_ker), np.asarray(y_ref),
+                               atol=2e-4, rtol=1e-3)
+
+    # prologue (LN scale/shift + channel bias) + D-skip + GELU epilogue
+    a = rng.randn(B, lay.S, lay.Rc).astype(np.float32) * 0.1 + 1.0
+    c = rng.randn(B, lay.S, lay.Rc).astype(np.float32) * 0.1
+    bias = rng.randn(B, H).astype(np.float32)
+    y_ker2 = f2._conv2_impl(uc, kfr, kfi,
+                            jnp.asarray(d).reshape(H, lay.HB, 1),
+                            lay, False, "gelu_d",
+                            prologue=(jnp.asarray(a), jnp.asarray(c),
+                                      jnp.asarray(bias)))
+    m = f2._consts(lay)["mask"][None, :, None, :]
+    xn = (np.asarray(uc) * a[:, :, None, :] + c[:, :, None, :]
+          + bias[:, None, :, None])
+    y_pre = np.asarray(f2.conv2_ref(jnp.asarray(xn.astype(np.float32)),
+                                    kfr, kfi, lay))
+    pre = y_pre + d[None, None, :, None] * (xn * np.asarray(m))
+    import math
+    y_ref2 = (0.5 * pre * (1 + np.vectorize(math.erf)(pre / np.sqrt(2.0)))
+              * np.asarray(m))
+    np.testing.assert_allclose(np.asarray(y_ker2), y_ref2,
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_dkf_kernel_hb1_interpret():
+    L, n, H, B = 1000, 2048, 8, 2
+    lay = f2.choose_layout(L, n, H, HB=1)
+    rng = np.random.RandomState(4)
+    u = jnp.asarray(rng.randn(B, lay.S, H, lay.Rc).astype(np.float32) * 0.3)
+    k = rng.randn(H, n).astype(np.float32) * 0.3
+    kfr, kfi = f2.kernel_spectrum(jnp.asarray(k), lay)
+    g = jnp.asarray(rng.randn(B, lay.S, H, lay.Rc).astype(np.float32))
+    _, vjp_k = jax.vjp(lambda a, b: f2.conv2_ref(u, a, b, lay), kfr, kfi)
+    dr_ref, di_ref = vjp_k(g)
+    dr, di = f2.fftconv2_dkf(u, g, lay, False)
+    live = np.ones((1, lay.Q, 1, lay.R), bool)
+    live[:, lay.Q - 1, :, 1:] = False
+    scale = np.abs(np.asarray(dr_ref)).max()
+    assert (np.abs(np.asarray(dr) - np.asarray(dr_ref)) * live).max() \
+        / scale < 1e-5
+    live[:, lay.Q - 1] = False
+    assert (np.abs(np.asarray(di) - np.asarray(di_ref)) * live).max() \
+        / scale < 1e-5
+
+
 def test_dkf_kernel_matches_autodiff():
     """The fused spectrum-gradient kernel (interpret mode) vs jax.vjp of
     the XLA reference, on the live components (dead components: Nyquist

@@ -33,6 +33,59 @@ def lj_long(tmp_path):
     return str(d)
 
 
+def test_fused_v2_path_selected_at_44000():
+    """The adaptive-R layout family (ops/fftconv2.default_R: R=512 at
+    n=2^17 so S caps at 256) makes the layout-native fused conv feasible
+    at the LJSpeech-harder operating point — the runtime must select it
+    rather than the 0.19x-realtime XLA fallback."""
+    import jax.numpy as jnp
+    from diffwave_sashimi_tpu.models.sashimi import Sashimi
+    from diffwave_sashimi_tpu.runtime.generate import select_kernel_mode
+    from diffwave_sashimi_tpu.ops import fftconv2
+
+    model = Sashimi(d_model=32, n_layers=6, pool=(4, 4), expand=2, ff=2,
+                    L=44000, unconditional=False, mel_upsample=(32, 64),
+                    dtype=jnp.bfloat16)
+    assert model.v2_compatible(44000)
+    assert select_kernel_mode(model, 44000, on_tpu=True) == "v2"
+    # one layout family across tiers: same R and Rc, S scales with pool
+    R = fftconv2.default_R(1 << (2 * 44000 - 1).bit_length())
+    assert R == 512
+    lays = [fftconv2.choose_layout(Lt, 1 << (2 * Lt - 1).bit_length(),
+                                   Ht, R=R, bf16=True)
+            for Ht, Lt in ((32, 44000), (64, 11000), (128, 2750))]
+    assert [l.S for l in lays] == [256, 64, 16]
+    assert len({l.Rc for l in lays}) == 1
+    assert all(fftconv2.layout_feasible(l) for l in lays)
+
+
+def test_compact_forward_matches_flat_at_44000():
+    """v2 kernels at the harder point compute the same forward as the
+    flat path (which is reference-parity-tested)."""
+    import jax
+    import jax.numpy as jnp
+    from diffwave_sashimi_tpu.models.sashimi import Sashimi
+
+    L = 44000
+    model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), expand=2, ff=2,
+                    L=L, unconditional=False, mel_upsample=(32, 64))
+    frames = L // 2048 + 1
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(1, 80, frames).astype(np.float32))
+    audio = jnp.asarray(rng.randn(1, 1, L).astype(np.float32) * 0.3)
+    steps = jnp.asarray([7], np.int32)
+    params = model.init(jax.random.PRNGKey(0), audio, steps, mel)
+    leaves, td = jax.tree.flatten(params)
+    ks = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    params = td.unflatten([l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+                           for l, k in zip(leaves, ks)])
+    y_flat = model.apply(params, audio, steps, mel)
+    kernels = model.apply(params, L, "v2", method=Sashimi.compute_kernels)
+    y_v2 = model.apply(params, audio, steps, mel, kernels=kernels)
+    np.testing.assert_allclose(np.asarray(y_v2), np.asarray(y_flat),
+                               atol=3e-4, rtol=1e-3)
+
+
 def test_harder_vocoder_train_and_generate(lj_long, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cfg = load_config(overrides=TINY + [f"dataset.data_path={lj_long}"])
