@@ -56,15 +56,20 @@ class WNConvTranspose2dMel(nn.Module):
         w_flip = jnp.flip(w, axis=(2, 3)).transpose(1, 0, 2, 3)  # (O, I, kh, kw)
         ph, pw = 1, self.s // 2
         x = mel[:, None, :, :]  # (B, 1, M, L)
+        # NOTE: no preferred_element_type here — with bf16 operands and an
+        # f32-preferred output, the conv's VJP builds a transpose conv of
+        # the f32 cotangent against the bf16 weight, which lax rejects
+        # (mixed dtypes).  bf16 convs accumulate in f32 on the TPU MXU
+        # regardless; the bias add below is explicit f32.
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), w_flip.astype(self.dtype),
             window_strides=(1, 1),
             padding=[(kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)],
             lhs_dilation=(1, self.s),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32,
         )
-        y = y + b.astype(jnp.float32)[None, :, None, None]
+        y = y.astype(jnp.float32) + b.astype(jnp.float32)[None, :, None,
+                                                          None]
         return y.astype(self.dtype)[:, 0, :, :]  # (B, M, s*L)
 
 

@@ -90,6 +90,33 @@ def test_train_step_updates_mel_params_and_uses_mel(tiny_cond):
         "loss is insensitive to the mel conditioning"
 
 
+def test_bf16_conditional_train_step_runs():
+    """Regression: with bf16 model dtype, the mel upsampler's transpose
+    conv used preferred_element_type=f32, whose VJP builds a conv of the
+    f32 cotangent against the bf16 weight — lax rejects mixed dtypes, so
+    every bf16 conditional TRAIN step crashed (forward-only paths hid
+    it).  One value_and_grad step must run and produce finite grads."""
+    L = 1024
+    model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), expand=2, ff=2,
+                    L=L, unconditional=False, mel_upsample=(4, 4),
+                    dtype=jnp.bfloat16)
+    mel = jax.random.normal(jax.random.PRNGKey(3), (2, 80, L // 16))
+    audio = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (2, 1, L))
+    params = model.init(jax.random.PRNGKey(0), audio[:1],
+                        jnp.zeros((1,), jnp.int32), mel[:1])
+    schedule = diffusion_schedule(T=4, beta_0=1e-4, beta_T=0.05)
+
+    def apply_fn(p, x, t, m=None, **kw):
+        return model.apply(p, x, t, m, train=True, **kw)
+
+    loss, grads = jax.value_and_grad(
+        lambda p: training_loss(apply_fn, p, audio, schedule,
+                                jax.random.PRNGKey(11), mel_spec=mel))(params)
+    assert np.isfinite(float(loss))
+    for path, g in _mel_paths(grads):
+        assert np.isfinite(np.asarray(g, np.float32)).all(), path
+
+
 def test_mel_branch_gradients_nonzero(tiny_cond):
     model, params, audio, mel = tiny_cond
     schedule = diffusion_schedule(T=4, beta_0=1e-4, beta_T=0.05)
