@@ -125,14 +125,15 @@ _FRAME_BUDGET = 12 * 2 ** 20
 
 def choose_layout(L: int, n: int, H: int, R: Optional[int] = None,
                   HB: Optional[int] = None, bf16: bool = False,
-                  BB: int = 1) -> Layout:
-    """Pick (R, S, Rc, HB) for a tier.  Total matmul cost scales as
+                  BB: Optional[int] = None) -> Layout:
+    """Pick (R, S, Rc, HB, BB) for a tier.  Total matmul cost scales as
     ~8*n*(Rc + S) per channel with Rc ~= L/S, so S ~ sqrt(L) minimizes
     FLOPs; lane dims (R, Rc) want to be multiples of 128.
 
     R defaults to the n-derived family factor (see :func:`default_R`);
     networks whose tiers must share one layout thread the top tier's R
-    explicitly."""
+    explicitly.  BB=None auto-pairs with HB (see below); the launch path
+    downgrades BB to 1 at trace time when the batch doesn't divide it."""
     assert n & (n - 1) == 0 and n >= 256, n
     if R is None:
         R = default_R(n)
@@ -143,12 +144,25 @@ def choose_layout(L: int, n: int, H: int, R: Optional[int] = None,
     Rc = min(Rc, R)
     assert Rc * S >= L, (Rc, S, L)
     Q = S // 2 + 1
+    itm = 2 if bf16 else 4
+
+    def frame(hb: int, bb: int) -> int:
+        return _frame_bytes(S, R, Rc, Q, hb, itm, bb)
+
+    if HB is None and BB is None and S >= 16 and H % 8 == 0 \
+            and frame(8, 2) <= _FRAME_BUDGET:
+        # Measured sweet spot on v5e (/tmp/bbhb_sweep.log 2026-08-17,
+        # B=16 gelu_d): TWO independent batch chains at HB=8 let Mosaic
+        # overlap one chain's VPU stages (twiddles, kernel multiply,
+        # GELU) with the other's MXU time — tier1 (S=128) 1.60 ms vs
+        # 1.91 at the old HB16/BB1 pick, tier2 (S=32) 0.48 vs 0.77 at
+        # HB32/BB1.  Small-S tiers (S=8) are launch-bound and prefer one
+        # wide chain (tier3 HB32/BB1 0.16 ms vs 0.25 best interleaved),
+        # handled by the growth rule below.
+        HB, BB = 8, 2
+    if BB is None:
+        BB = 1
     if HB is None:
-        itm = 2 if bf16 else 4
-
-        def frame(hb: int) -> int:
-            return _frame_bytes(S, R, Rc, Q, hb, itm, BB)
-
         # HB*S <= 2048, HB <= 32 is the measured sweet spot on v5e with
         # the bf16 inter-stage chain (/tmp/hb_sweep.py 2026-08-17: tier1
         # HB=16 -21%, tier2/3 HB=32 -17%/-22% vs the old HB*S <= 512
@@ -157,10 +171,11 @@ def choose_layout(L: int, n: int, H: int, R: Optional[int] = None,
         # of every (S, HB, R) temporary, which Mosaic pads 4-8x (and has
         # crashed its vector layout pass); HB=1 runs an all-2-D chain.
         HB = 8
-        if frame(HB) > _FRAME_BUDGET or H % HB != 0:
+        if frame(HB, BB) > _FRAME_BUDGET or H % HB != 0:
             HB = 1
         while 1 <= HB < 32 and H % (HB * 2) == 0 \
-                and frame(HB * 2) <= _FRAME_BUDGET and (HB * 2) * S <= 2048:
+                and frame(HB * 2, BB) <= _FRAME_BUDGET \
+                and (HB * 2) * S <= 2048:
             HB *= 2
         if HB in (2, 4):
             HB = 1
@@ -497,6 +512,10 @@ def _conv2_impl(u: jnp.ndarray, kfr: jnp.ndarray, kfi: jnp.ndarray,
     S, R, Rc, HB, Q = lay.S, lay.R, lay.Rc, lay.HB, lay.Q
     B, _, H, _ = u.shape
     assert u.shape[1] == S and u.shape[3] == Rc, (u.shape, lay)
+    if B % lay.BB != 0:
+        # batch doesn't divide the interleave factor (tests, odd tails):
+        # run single-chain programs — spectra shapes don't depend on BB
+        lay = lay._replace(BB=1)
     G = H // HB
     out_dtype = out_dtype or u.dtype
     c = _consts(lay)

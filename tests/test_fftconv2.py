@@ -134,6 +134,53 @@ def test_conv2_kernel_hb1_interpret():
                                atol=2e-3, rtol=1e-3)
 
 
+def test_conv2_kernel_bb2_interpret():
+    """The BB=2 batch-interleaved kernel path (the measured v5e default
+    for S >= 16 tiers: two independent per-item chains per program) —
+    interpret-mode kernel vs the XLA reference, plus the trace-time BB
+    downgrade when the batch doesn't divide BB."""
+    L, n, B, H = 4000, 8192, 4, 8
+    lay = f2.choose_layout(L, n, H)
+    assert lay.HB == 8 and lay.BB == 2, lay   # the auto pick under test
+    rng = np.random.RandomState(5)
+    u = rng.randn(B, H, L).astype(np.float32)
+    k = rng.randn(H, n).astype(np.float32) * 0.3
+    d = rng.randn(H).astype(np.float32)
+    kfr, kfi = f2.kernel_spectrum(jnp.asarray(k), lay)
+    uc = f2.to_compact(jnp.asarray(u), lay)
+
+    y_ker = f2._conv2_impl(uc, kfr, kfi, None, lay, False, "none")
+    y_ref = f2.conv2_ref(uc, kfr, kfi, lay)
+    np.testing.assert_allclose(np.asarray(y_ker), np.asarray(y_ref),
+                               atol=2e-4, rtol=1e-3)
+
+    # prologue + epilogue through the BB loop
+    a = rng.randn(B, lay.S, lay.Rc).astype(np.float32) * 0.1 + 1.0
+    c = rng.randn(B, lay.S, lay.Rc).astype(np.float32) * 0.1
+    bias = rng.randn(B, H).astype(np.float32)
+    y_ker2 = f2._conv2_impl(uc, kfr, kfi,
+                            jnp.asarray(d).reshape(H // lay.HB, lay.HB, 1),
+                            lay, False, "gelu_d",
+                            prologue=(jnp.asarray(a), jnp.asarray(c),
+                                      jnp.asarray(bias)))
+    m = f2._consts(lay)["mask"][None, :, None, :]
+    xn = (np.asarray(uc) * a[:, :, None, :] + c[:, :, None, :]
+          + bias[:, None, :, None])
+    y_pre = np.asarray(f2.conv2_ref(jnp.asarray(xn.astype(np.float32)),
+                                    kfr, kfi, lay))
+    pre = y_pre + d[None, None, :, None] * (xn * np.asarray(m))
+    import math
+    y_ref2 = (0.5 * pre * (1 + np.vectorize(math.erf)(pre / np.sqrt(2.0)))
+              * np.asarray(m))
+    np.testing.assert_allclose(np.asarray(y_ker2), y_ref2,
+                               atol=2e-3, rtol=1e-3)
+
+    # odd batch: BB downgraded at trace time, same values
+    y3 = f2._conv2_impl(uc[:3], kfr, kfi, None, lay, False, "none")
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y_ref)[:3],
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_dkf_kernel_hb1_interpret():
     L, n, H, B = 1000, 2048, 8, 2
     lay = f2.choose_layout(L, n, H, HB=1)
