@@ -78,10 +78,12 @@ def _alarm(sig, frame):
 
 
 def measure_generation(T: int = 200, L: int = 16000, sr: int = 16000,
-                       batches=(16, 32, 8)):
-    """Best realtime factor over candidate batch sizes (throughput is
-    roughly flat in batch — the step is compute-bound, not dispatch-bound —
-    so a couple of points suffice)."""
+                       batches=(16, 64, 128, 8)):
+    """Best realtime factor over candidate batch sizes, including the
+    max-batch throughput points (the reference's own eval protocol is
+    batch-128 throughput sampling, ref README.md:215).  Throughput is
+    roughly flat in batch — the step is MXU-bound (scripts/serial_floor.py)
+    — but large batches amortize the per-step dispatch tail."""
     best = None
     last_err = None
     for batch in batches:

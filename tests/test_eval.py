@@ -64,6 +64,43 @@ def sc09_tree(tmp_path_factory):
     return str(root)
 
 
+def test_score_real_sampler_output(sc09_tree, tmp_path, monkeypatch):
+    """The quality loop end-to-end: train (tiny) -> generate with the REAL
+    sampler (wavs land in the exp/<run>/waveforms layout) -> score that
+    directory with the FID/IS harness.  Pins that the scoring path accepts
+    actual sampler output, not just hand-built files."""
+    from diffwave_sashimi_tpu.config import load_config
+    from diffwave_sashimi_tpu.eval.sc09_eval import main
+    from diffwave_sashimi_tpu.runtime.generate import generate
+    from diffwave_sashimi_tpu.runtime.train import train
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(overrides=[
+        "experiment=sc09_wavenet", "model.res_channels=16",
+        "model.skip_channels=16", "model.num_res_layers=2",
+        "model.dilation_cycle=2", "dataset.segment_length=512",
+        "diffusion.T=4", "train.n_iters=2", "train.iters_per_ckpt=2",
+        "train.iters_per_logging=1", "train.batch_size_per_gpu=1",
+        "generate.n_samples=4", "mesh.data=1", "compute.precision=f32",
+        f"dataset.data_path={sc09_tree}"])
+    train(cfg.diffusion, cfg.model, cfg.dataset, None,
+          mesh_cfg=cfg.mesh, compute_cfg=cfg.compute,
+          **{k: v for k, v in dict(cfg.train).items() if k != "name"})
+    generate(cfg.diffusion, cfg.model, cfg.dataset, ckpt_iter="max",
+             n_samples=4, batch_size=2)
+    wav_dir = os.path.join("exp", "wnet_h16_d2_T4_betaT0.02_uncond",
+                           "waveforms", "2")
+    assert len(os.listdir(wav_dir)) == 4
+
+    clf_path = str(tmp_path / "clf.pkl")
+    main(["train", "--data", sc09_tree, "--classifier", clf_path,
+          "--epochs", "4", "--batch", "8"])
+    s = main(["score", "--real", sc09_tree, "--generated", wav_dir,
+              "--classifier", clf_path, "--n", "36"])
+    assert np.isfinite(s["fid"]) and np.isfinite(s["is"])
+    assert s["n_generated"] == 4 if "n_generated" in s else True
+
+
 def test_train_and_score_cli(sc09_tree, tmp_path):
     from diffwave_sashimi_tpu.eval.sc09_eval import main
 

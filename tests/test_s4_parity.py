@@ -92,6 +92,30 @@ def test_nplr_kernel_parity(torch_ref, ref_s4_factory):
     np.testing.assert_allclose(np.asarray(k_ours), k_ref, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("rate", [2.0, 0.5])
+def test_nplr_kernel_rate_parity(torch_ref, ref_s4_factory, rate):
+    """Kernel-level rate resampling (ref models/s4.py:689-702): the
+    continuous support stays l_max while the discrete grid is resampled
+    by ``rate`` (dt * rate; doubling when rate * L exceeds the trained
+    length).  Pins the kernel itself, not just the layer forward
+    (test_s4_options covers that)."""
+    torch = torch_ref.torch
+    H, N, L = 8, 16, 256
+    layer = ref_s4_factory(H=H, N=N, L=L)
+    Lk = int(round(L / rate))
+
+    sd = {("x." + k): v.clone() for k, v in layer.state_dict().items()}
+    with torch.no_grad():
+        k_ref, _ = layer.kernel(L=Lk, rate=rate)
+    k_ref = k_ref.numpy()  # (c=2, H, Lk)
+
+    ours_params = _s4_from_torch(sd, "x")
+    mod = SSKernelNPLR(H=H, N=N, l_max=L, channels=2)
+    k_ours = np.asarray(mod.apply({"params": ours_params["kernel"]},
+                                  Lk, rate=rate))
+    np.testing.assert_allclose(k_ours, k_ref, atol=5e-4, rtol=1e-2)
+
+
 def test_s4_forward_parity(torch_ref, ref_s4_factory):
     torch = torch_ref.torch
     H, N, L = 8, 16, 256
