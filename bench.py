@@ -15,6 +15,7 @@ step/s) are included in the same JSON object.
 """
 
 import json
+import os
 import signal
 import sys
 import time
@@ -172,6 +173,29 @@ def measure_train_step(batch: int = 8, L: int = 16000):
     return 4 / max(t6 - t2, 1e-6)
 
 
+def measure_wavenet():
+    """wnet_h256_d36 (the reference's WaveNet operating point): T=200
+    sampling + train steps/s.  Guarded — failures return None."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "wavenet_bench", os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts", "wavenet_bench.py"))
+    wb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wb)
+    signal.signal(signal.SIGALRM, _alarm)
+    rt = steps = None
+    try:
+        signal.alarm(1200)
+        rt = wb.bench_sampling(8)
+        steps = wb.bench_train(4)
+    except (_Timeout, Exception) as e:
+        print(f"[bench] wavenet failed: {type(e).__name__}",
+              file=sys.stderr, flush=True)
+    finally:
+        signal.alarm(0)
+    return rt, steps
+
+
 def main():
     t_start = time.time()
     batch, realtime, secs_per_batch = measure_generation()
@@ -198,6 +222,7 @@ def main():
     mfu = None
     if steps_per_sec:
         mfu = round(steps_per_sec * train_batch * 0.26 * 4 / 197.0, 4)
+    wnet_rt, wnet_steps = measure_wavenet()
     result = {
         "metric": "sec of 16kHz audio generated /sec/chip at T=200 "
                   "(sashimi d128 SC09)",
@@ -212,6 +237,9 @@ def main():
                                 if steps_per_sec else None),
         "train_batch": (train_batch if steps_per_sec else None),
         "train_mfu_est": mfu,
+        "wavenet_t200_x_realtime": (round(wnet_rt, 3) if wnet_rt else None),
+        "wavenet_train_steps_per_sec": (round(wnet_steps, 3)
+                                        if wnet_steps else None),
         "bench_wall_s": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
     }

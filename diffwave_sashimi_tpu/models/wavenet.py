@@ -45,6 +45,7 @@ class ResidualBlock(nn.Module):
     diffusion_step_embed_dim_out: int = 512
     unconditional: bool = True
     mel_upsample: Sequence[int] = (16, 16)
+    train: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -69,11 +70,31 @@ class ResidualBlock(nn.Module):
                            name="mel_conv", **kw)(mel)
             h = h + mel
 
-        out = jnp.tanh(h[:, :C, :]) * jax.nn.sigmoid(h[:, C:, :])
+        res_conv = WNConv1d(C, C, kernel_size=1, name="res_conv", **kw)
+        skip_conv = WNConv1d(C, self.skip_channels, kernel_size=1,
+                             name="skip_conv", **kw)
 
-        res = WNConv1d(C, C, kernel_size=1, name="res_conv", **kw)(out)
-        skip = WNConv1d(C, self.skip_channels, kernel_size=1,
-                        name="skip_conv", **kw)(out)
+        L = h.shape[-1]
+        from ..ops import wavenet_gate
+        if (wavenet_gate.FUSED_TAIL["enabled"] and not self.train
+                and not self.is_initializing()
+                and jax.default_backend() in ("tpu", "axon")
+                and L % 128 == 0):
+            # Fused gate + res/skip tail (ops/wavenet_gate).  OFF by
+            # default: measured SLOWER than XLA end-to-end on v5e
+            # (81.6 vs 70.1 ms/step, wnet_h256_d36 B8 T=200 — XLA's own
+            # gate+1x1 fusion wins at this op mix; see BASELINE.md).
+            # Kept as an opt-in for future tile-size revisits.
+            from ..ops import fftconv_pallas
+            return wavenet_gate.gate_res_skip(
+                h, x,
+                res_conv.effective_weight()[:, :, 0], res_conv.b,
+                skip_conv.effective_weight()[:, :, 0], skip_conv.b,
+                fast=fftconv_pallas.FAST["enabled"])
+
+        out = jnp.tanh(h[:, :C, :]) * jax.nn.sigmoid(h[:, C:, :])
+        res = res_conv(out)
+        skip = skip_conv(out)
         return ((x + res) * jnp.asarray(math.sqrt(0.5), self.dtype)), skip
 
 
@@ -129,6 +150,7 @@ class WaveNet(nn.Module):
                 diffusion_step_embed_dim_out=self.diffusion_step_embed_dim_out,
                 unconditional=self.unconditional,
                 mel_upsample=self.mel_upsample,
+                train=train,
                 name=f"block{n}", **kw,
             )(h, embed, mel_spec)
             skip_sum = skip_sum + skip

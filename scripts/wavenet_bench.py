@@ -35,9 +35,9 @@ from diffwave_sashimi_tpu.models.wavenet import WaveNet  # noqa: E402
 L, SR = 16000, 16000
 
 
-def build(B, dtype=jnp.bfloat16):
+def build(B, dtype=jnp.bfloat16, remat=False):
     model = WaveNet(res_channels=256, skip_channels=256, num_res_layers=36,
-                    dilation_cycle=12, dtype=dtype)
+                    dilation_cycle=12, dtype=dtype, remat=remat)
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 1, L), jnp.float32),
                                  jnp.zeros((1,), jnp.int32))
@@ -77,8 +77,7 @@ def bench_sampling(B):
 
 
 def bench_train(B, remat=True):
-    model, params = build(B)
-    model = model.replace(remat=remat)
+    model, params = build(B, remat=remat)
     sched = diffusion_schedule(T=200, beta_0=1e-4, beta_T=0.02)
     opt = optax.adam(2e-4)
     ost = opt.init(params)
@@ -114,7 +113,14 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--train-batch", type=int, default=4)
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="enable the fused gate+res/skip Pallas tail "
+                         "(measured slower than XLA on v5e; default off)")
     args = ap.parse_args()
+    if args.fused:
+        from diffwave_sashimi_tpu.ops import wavenet_gate
+
+        wavenet_gate.FUSED_TAIL["enabled"] = True
     print(f"device: {jax.devices()[0]}", flush=True)
     bench_sampling(args.batch)
     if not args.skip_train:
