@@ -80,16 +80,22 @@ def build_step(ablate=()):
               f"{time.time() - t0:.1f}s", flush=True)
 
         def timed(k, seed0):
-            pp, oo, ll = p, o, None
+            # the step donates (params, opt_state): always thread the
+            # freshest arrays forward, never reuse a donated buffer
+            nonlocal p, o
+            ll = None
             t0 = time.time()
             for i in range(k):
-                pp, oo, ll = step(pp, oo, audio, None,
-                                  jax.random.PRNGKey(seed0 + i))
+                p, o, ll = step(p, o, audio, None,
+                                jax.random.PRNGKey(seed0 + i))
             float(ll)
             return time.time() - t0
 
-        t1, t7 = timed(2, 30), timed(8, 40)
-        return (t7 - t1) / 6 * 1000
+        # chains of >6 queued train steps without an intermediate D2H
+        # have errored the backend (CLAUDE.md fact 6) — keep it at 2/6
+        # like bench.py
+        t1, t7 = timed(2, 30), timed(6, 40)
+        return (t7 - t1) / 4 * 1000
     finally:
         Sashimi.compute_kernels = orig_ck
         for k, v in orig_chmix.items():
