@@ -1,2 +1,2 @@
-from .mesh import (make_mesh, mesh_from_cfg, batch_sharding, replicated,
-                   shard_batch)
+from .mesh import (make_mesh, mesh_from_cfg, batch_sharding,
+                   is_main_process, replicated, shard_batch)
