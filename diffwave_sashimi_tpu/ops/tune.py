@@ -99,12 +99,101 @@ def bench_point(label: str, batch_dims, H: int, N: int, L: int,
     return rec
 
 
+# ---------------------------------------------------------------------------
+# Fused-conv (HB, BB) sweep: the v2 layout's channels-per-program and
+# batch-interleave factors.  Slope-timed with a forced D2H per chain
+# (block_until_ready does NOT reliably wait on this backend — CLAUDE.md
+# facts 5/13); only within-run comparisons are meaningful (tunnel load
+# drifts ±25% between processes).
+
+# (label, H, L, n) — the SC09 d128 tiers + the LJSpeech-harder top tier
+CONV_TIERS = [
+    ("sc09_d128_t1", 128, 16000, 32768),
+    ("sc09_d128_t2", 256, 4000, 8192),
+    ("sc09_d128_t3", 512, 1000, 2048),
+    ("ljs_harder_top", 32, 44000, 131072),
+]
+
+
+def _slope(fn, *args, reps: int = 20) -> float:
+    out = fn(*args)
+    float(out.sum().astype(jnp.float32))
+
+    def run(k):
+        t0 = time.time()
+        o = None
+        for _ in range(k):
+            o = fn(*args)
+        float(o.sum().astype(jnp.float32))
+        return time.time() - t0
+    t1, tn = run(3), run(3 + reps)
+    return (tn - t1) / reps
+
+
+def bench_conv_tier(label: str, H: int, L: int, n: int,
+                    B: int = 16) -> Dict:
+    from . import fftconv2 as f2
+    rng = np.random.RandomState(0)
+    rec: Dict = {"point": label, "H": H, "L": L, "n": n, "B": B}
+    results = []
+    default_lay = f2.choose_layout(L, n, H, bf16=True)
+    rec["default"] = {"HB": default_lay.HB, "BB": default_lay.BB}
+    for HB in (1, 8, 16, 32):
+        if H % HB:
+            continue
+        for BB in (1, 2, 4, 8):
+            if B % BB:
+                continue
+            lay = f2.choose_layout(L, n, H, HB=HB, bf16=True, BB=BB)
+            if not f2.layout_feasible(lay):
+                continue
+            k = jnp.asarray(rng.randn(H, n).astype(np.float32) * .02)
+            kfr, kfi = jax.jit(
+                lambda kk, lay=lay: f2.kernel_spectrum(kk, lay))(k)
+            d = jnp.asarray(rng.randn(H).astype(np.float32))
+            u = jnp.asarray(
+                rng.randn(B, lay.S, H, lay.Rc).astype(np.float32) * .1,
+                jnp.bfloat16)
+            fc = jax.jit(lambda u, kfr=kfr, kfi=kfi, d=d, lay=lay:
+                         f2.fftconv2_gelu_d(u, kfr, kfi, d, lay, True))
+            try:
+                ms = 1000 * _slope(fc, u)
+                gf = B * H * 8 * lay.n * (lay.Rc + lay.S) / 1e9
+                results.append({"HB": HB, "BB": BB, "ms": round(ms, 3),
+                                "tf_s": round(gf / ms, 1)})
+            except Exception as e:
+                results.append({"HB": HB, "BB": BB,
+                                "error": type(e).__name__})
+            print(json.dumps({**rec, **results[-1]}), flush=True)
+    ok = [r for r in results if "ms" in r]
+    rec["sweep"] = results
+    if ok:
+        rec["best"] = min(ok, key=lambda r: r["ms"])
+    return rec
+
+
+def conv_main(out: str, quick: bool) -> None:
+    tiers = CONV_TIERS[:1] if quick else CONV_TIERS
+    records = [bench_conv_tier(*t) for t in tiers]
+    with open(out, "w") as f:
+        json.dump({"device": str(jax.devices()[0]), "results": records},
+                  f, indent=2)
+    print(f"wrote {out}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="single operating point, no block sweep")
-    ap.add_argument("--out", default="cauchy_tune.json")
+    ap.add_argument("--conv", action="store_true",
+                    help="sweep the fused-conv (HB, BB) layout factors "
+                         "instead of the Cauchy blocks")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.conv:
+        conv_main(args.out or "conv_tune.json", args.quick)
+        return
+    args.out = args.out or "cauchy_tune.json"
 
     points = OPERATING_POINTS[1:2] if args.quick else OPERATING_POINTS
     records: List[Dict] = []
