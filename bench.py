@@ -177,15 +177,15 @@ def measure_wavenet():
     """wnet_h256_d36 (the reference's WaveNet operating point): T=200
     sampling + train steps/s.  Guarded — failures return None."""
     import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "wavenet_bench", os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "scripts", "wavenet_bench.py"))
-    wb = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(wb)
     signal.signal(signal.SIGALRM, _alarm)
     rt = steps = None
     try:
         signal.alarm(1200)
+        spec = importlib.util.spec_from_file_location(
+            "wavenet_bench", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "scripts", "wavenet_bench.py"))
+        wb = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(wb)
         rt = wb.bench_sampling(8)
         steps = wb.bench_train(4)
     except (_Timeout, Exception) as e:

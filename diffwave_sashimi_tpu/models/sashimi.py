@@ -528,24 +528,33 @@ class Sashimi(nn.Module):
             return False
         from ..ops import fftconv2
         R = self._v2R()
-        H, L = self.d_model, self.L
-        tiers = [(H, L)]
+        n_top = 1 << (2 * self.L - 1).bit_length()
+        if n_top % R != 0:
+            return False
+        Rc0 = fftconv2.choose_layout(self.L, n_top, self.d_model, R=R).Rc
+        H, L, n_parent = self.d_model, self.L, n_top
+        tiers = [(H, L, n_top, None)]
         for p in self.pool:
             if L % p != 0:
                 return False
             H, L = H * self.expand, L // p
-            tiers.append((H, L))
-        for Ht, Lt in tiers:
-            n_t = 1 << (2 * Lt - 1).bit_length()
+            n_t = 1 << (2 * L - 1).bit_length()
+            # DownPool's compact reshape splits the parent's sublane axis
+            # by p, so the child tier's NATIVE layout must have exactly
+            # S_parent / p rows (n_t == n_parent / p) — non-power-of-2
+            # pools (e.g. p=5) break this and must take the flat path
+            if n_t * p != n_parent:
+                return False
+            tiers.append((H, L, n_t, p))
+            n_parent = n_t
+        for Ht, Lt, n_t, _ in tiers:
             if n_t // R < 8 or n_t % R != 0:
                 return False   # deepest tier's S below one sublane tile
             lay = fftconv2.choose_layout(Lt, n_t, Ht, R=R,
                                          bf16=self.dtype == jnp.bfloat16)
             if not fftconv2.layout_feasible(lay):
                 return False
-            if lay.Rc != fftconv2.choose_layout(
-                    self.L, 1 << (2 * self.L - 1).bit_length(),
-                    self.d_model, R=R).Rc:
+            if lay.Rc != Rc0:
                 return False   # pooled reshape requires one Rc family-wide
         return True
 

@@ -154,10 +154,14 @@ def bench_conv_tier(label: str, H: int, L: int, n: int,
             u = jnp.asarray(
                 rng.randn(B, lay.S, H, lay.Rc).astype(np.float32) * .1,
                 jnp.bfloat16)
-            fc = jax.jit(lambda u, kfr=kfr, kfi=kfi, d=d, lay=lay:
+            # pass the spectra/D as ARGUMENTS, not jit-closure constants
+            # (CLAUDE.md axon fact 3: closed-over device arrays get
+            # embedded and read back host-side at lowering, ~90-250s for
+            # the first one)
+            fc = jax.jit(lambda u, kfr, kfi, d, lay=lay:
                          f2.fftconv2_gelu_d(u, kfr, kfi, d, lay, True))
             try:
-                ms = 1000 * _slope(fc, u)
+                ms = 1000 * _slope(fc, u, kfr, kfi, d)
                 gf = B * H * 8 * lay.n * (lay.Rc + lay.S) / 1e9
                 results.append({"HB": HB, "BB": BB, "ms": round(ms, 3),
                                 "tf_s": round(gf / ms, 1)})

@@ -90,6 +90,24 @@ def test_train_step_updates_mel_params_and_uses_mel(tiny_cond):
         "loss is insensitive to the mel conditioning"
 
 
+def test_hoisted_mel_conds_match_per_step_mel(tiny_cond):
+    """The hoisted conditioning (compute_mel_conds + mel_conds threading —
+    the path ALL conditional sampling routes through, runtime/generate.py)
+    must equal the per-step mel_spec path.  A stage-name or block-order
+    slip in the stacked (n_layers, ...) conds would pass every other test
+    while mis-conditioning all production sampling."""
+    model, params, audio, mel = tiny_cond
+    L = audio.shape[-1]
+    t = jnp.zeros((audio.shape[0],), jnp.int32)
+
+    y_ref = model.apply(params, audio, t, mel)
+    conds_flat = model.apply(params, mel, L, False,
+                             method=Sashimi.compute_mel_conds)
+    y_hoist = model.apply(params, audio, t, None, mel_conds=conds_flat)
+    np.testing.assert_allclose(np.asarray(y_hoist), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_bf16_conditional_train_step_runs():
     """Regression: with bf16 model dtype, the mel upsampler's transpose
     conv used preferred_element_type=f32, whose VJP builds a conv of the
@@ -167,6 +185,22 @@ def test_compact_eval_conditional_matches_flat(compact_cond):
     assert float(jnp.abs(y_flat - jnp.roll(y_flat, 1, -1)).max()) > 0
     np.testing.assert_allclose(np.asarray(y_v2), np.asarray(y_flat),
                                atol=3e-4, rtol=1e-3)
+
+
+def test_hoisted_mel_conds_match_per_step_compact(compact_cond):
+    """Hoisted conds on the compact (TPU fast) layout: kernels + stacked
+    compact conds must reproduce the per-step mel path."""
+    model, params, audio, mel = compact_cond
+    t = jnp.asarray([42], jnp.int32)
+    kernels = model.apply(params, 16000, "v2",
+                          method=Sashimi.compute_kernels)
+    y_ref = model.apply(params, audio, t, mel, kernels)
+    conds = model.apply(params, mel, 16000, True,
+                        method=Sashimi.compute_mel_conds)
+    y_hoist = model.apply(params, audio, t, None, kernels, mel_conds=conds)
+    assert float(jnp.abs(y_ref - jnp.roll(y_ref, 1, -1)).max()) > 0
+    np.testing.assert_allclose(np.asarray(y_hoist), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_compact_train_conditional_grads_match_flat(compact_cond):

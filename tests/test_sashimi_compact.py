@@ -31,6 +31,11 @@ def test_v2_compatible_gate(model_and_params):
     assert not model.v2_compatible(8000)     # != trained length
     small = Sashimi(d_model=8, n_layers=1, pool=(4, 4), L=4096)
     assert not small.v2_compatible(4096)     # deepest tier too short
+    # non-power-of-2 pool: p divides L but the pooled tier's native FFT
+    # size is n_parent/8, not n_parent/5 — DownPool's compact sublane
+    # split would mismatch the child layout; must take the flat path
+    p5 = Sashimi(d_model=8, n_layers=1, pool=(5,), L=40000)
+    assert not p5.v2_compatible(40000)
 
 
 def test_compact_forward_matches_flat(model_and_params):
