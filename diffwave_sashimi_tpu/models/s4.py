@@ -29,6 +29,7 @@ import math
 from typing import Any, Optional
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -649,6 +650,12 @@ class S4(nn.Module):
                         self.output_linear.w, self.output_linear.b, fast)
             else:
                 y = fftconv2.fftconv2(u, kfr, kfi, lay, fast)
+                # checkpoint_name: under the block remat's
+                # save-named-outputs policy (models/sashimi._make_stack)
+                # the conv output is SAVED, so the backward recompute is
+                # norm1/bias/GELU elementwise only — the four-matmul conv
+                # fwd does not run twice
+                y = jax.ad_checkpoint.checkpoint_name(y, "conv_out")
                 # + D*u on the channel-inner layout (channel at dim 2)
                 y = y + (self.D[0].astype(self.dtype)[None, None, :, None]
                          * u)
@@ -659,9 +666,11 @@ class S4(nn.Module):
                     # (hand-written backward kernel, ops/chmix)
                     assert self.dropout == 0.0
                     from ..ops import chmix
-                    return chmix.mix_glu_res_train(
-                        y.astype(self.dtype), residual,
-                        self.output_linear.w, self.output_linear.b, fast)
+                    return jax.ad_checkpoint.checkpoint_name(
+                        chmix.mix_glu_res_train(
+                            y.astype(self.dtype), residual,
+                            self.output_linear.w, self.output_linear.b,
+                            fast), "glu_out")
             return self._postact(y.astype(self.dtype))
 
         if not self.transposed:

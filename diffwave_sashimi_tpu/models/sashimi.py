@@ -339,7 +339,17 @@ def _make_stack(n: int, remat: bool, **cfg):
     # static_argnums: `train` (index 7 counting the module instance as 0)
     # must stay a Python bool under jax.checkpoint — it selects code paths
     # (fused-GELU vs plain conv, dropout) inside S4.
-    cls = nn.remat(_ScanBlock, static_argnums=(7,)) if remat else _ScanBlock
+    #
+    # policy: save the two expensive fused-kernel outputs per block
+    # (models/s4.py tags "conv_out"/"glu_out"), so the remat recompute is
+    # norm1/bias/GELU elementwise only instead of re-running the conv and
+    # GLU kernels.  Costs 2 activation tensors per block (~33 MB each at
+    # B8 tier 1); everything else still recomputes.  On paths that never
+    # tag (CPU/XLA fallback) the policy saves nothing == plain remat.
+    cls = nn.remat(
+        _ScanBlock, static_argnums=(7,),
+        policy=jax.checkpoint_policies.save_only_these_names(
+            "conv_out", "glu_out")) if remat else _ScanBlock
     scan = nn.scan(
         cls,
         variable_axes={"params": 0},
@@ -422,8 +432,11 @@ class Sashimi(nn.Module):
                     consume_skip=self.unet, name=f"u{si}_blocks", **bkw))
             self.u_stacks, self.u_pools = u_stacks, u_pools
         else:
-            Block = (nn.remat(DiffWaveBlock, static_argnums=(5,))
-                     if self.remat else DiffWaveBlock)
+            Block = (nn.remat(
+                DiffWaveBlock, static_argnums=(5,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out", "glu_out"))
+                if self.remat else DiffWaveBlock)
             d_mods, d_kinds = [], []
             for si, p in enumerate(self.pool):
                 if self.unet:
