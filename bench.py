@@ -218,7 +218,11 @@ def main():
                   f"{type(e).__name__}", file=sys.stderr)
     # MFU estimate: fwd ~0.26 TFLOP/sample (30 S4 convs at 8n(Rc+S)/ch +
     # 1x1 mixes, d128/L16000); train step ~ fwd * 4 (bwd ~2x fwd + remat
-    # recompute ~1x); v5e bf16 peak 197 TFLOP/s
+    # recompute ~1x); v5e bf16 peak 197 TFLOP/s.  NOTE: with the
+    # save_only_these_names remat policy (models/sashimi._make_stack) the
+    # recompute is elementwise-only, so the *4 overstates executed FLOPs
+    # by ~25% — treat as an upper bound / hardware-utilization figure,
+    # kept for cross-round comparability.
     mfu = None
     if steps_per_sec:
         mfu = round(steps_per_sec * train_batch * 0.26 * 4 / 197.0, 4)
