@@ -96,14 +96,28 @@ def test_remat_train_grads(block_scan):
     audio = jnp.ones((1, 1, 16000), jnp.float32) * 0.1
     steps = jnp.asarray(np.array([3], np.int32))
 
-    def loss(p):
-        if block_scan:
-            k = model.apply(p, 16000, "v2", method=Sashimi.compute_kernels)
-        else:
-            k = None
-        y = model.apply(p, audio, steps, kernels=k, train=True)
-        return jnp.mean(y ** 2)
+    def loss_for(m):
+        def loss(p):
+            if block_scan:
+                k = m.apply(p, 16000, "v2", method=Sashimi.compute_kernels)
+            else:
+                k = None
+            y = m.apply(p, audio, steps, kernels=k, train=True)
+            return jnp.mean(y ** 2)
+        return loss
 
-    g = jax.grad(loss)(params)
+    g = jax.grad(loss_for(model))(params)
     total = jax.flatten_util.ravel_pytree(g)[0]
     assert np.isfinite(np.asarray(total)).all()
+
+    # the save_only_these_names("conv_out", "glu_out") policy must only
+    # change WHAT is rematerialized, never the math: grads must equal the
+    # no-remat model's exactly (same params tree layout, remat is a
+    # transform not a parameterization change)
+    model_nr = Sashimi(d_model=8, n_layers=1, pool=(4, 4), expand=2, ff=2,
+                       L=16000, remat=False, block_scan=block_scan)
+    g_nr = jax.grad(loss_for(model_nr))(params)
+    flat_r = jax.flatten_util.ravel_pytree(g)[0]
+    flat_nr = jax.flatten_util.ravel_pytree(g_nr)[0]
+    np.testing.assert_allclose(np.asarray(flat_r), np.asarray(flat_nr),
+                               atol=1e-6, rtol=1e-5)
