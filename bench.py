@@ -196,6 +196,29 @@ def measure_wavenet():
     return rt, steps
 
 
+def measure_vocoder():
+    """LJSpeech-harder vocoder point (sashimi d32, L=44000, hop 2048,
+    T=50, conditional, hoisted mel conditioning): x-realtime at 22.05 kHz.
+    Guarded — failures return None."""
+    import importlib.util
+    signal.signal(signal.SIGALRM, _alarm)
+    rt = None
+    try:
+        signal.alarm(1200)
+        spec = importlib.util.spec_from_file_location(
+            "vocoder_bench", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "scripts", "vocoder_bench.py"))
+        vb = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(vb)
+        rt = vb.bench_vocoder()
+    except (_Timeout, Exception) as e:
+        print(f"[bench] vocoder failed: {type(e).__name__}",
+              file=sys.stderr, flush=True)
+    finally:
+        signal.alarm(0)
+    return rt
+
+
 def main():
     t_start = time.time()
     batch, realtime, secs_per_batch = measure_generation()
@@ -227,6 +250,7 @@ def main():
     if steps_per_sec:
         mfu = round(steps_per_sec * train_batch * 0.26 * 4 / 197.0, 4)
     wnet_rt, wnet_steps = measure_wavenet()
+    voc_rt = measure_vocoder()
     result = {
         "metric": "sec of 16kHz audio generated /sec/chip at T=200 "
                   "(sashimi d128 SC09)",
@@ -244,6 +268,8 @@ def main():
         "wavenet_t200_x_realtime": (round(wnet_rt, 3) if wnet_rt else None),
         "wavenet_train_steps_per_sec": (round(wnet_steps, 3)
                                         if wnet_steps else None),
+        "vocoder_harder_T50_x_realtime": (round(voc_rt, 3)
+                                          if voc_rt else None),
         "bench_wall_s": round(time.time() - t_start, 1),
         "device": str(jax.devices()[0]),
     }

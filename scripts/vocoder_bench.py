@@ -22,7 +22,8 @@ from diffwave_sashimi_tpu.models.sashimi import Sashimi  # noqa: E402
 B, D, L, T, SR, HOP = 8, 32, 44000, 50, 22050, 2048
 
 
-def main():
+def bench_vocoder() -> float:
+    """Returns the measured x-realtime factor (22.05 kHz, B8, T=50)."""
     model = Sashimi(d_model=D, n_layers=6, pool=(4, 4), expand=2, ff=2,
                     L=L, unconditional=False, mel_upsample=(32, 64),
                     dtype=jnp.bfloat16)
@@ -67,7 +68,8 @@ def main():
     rt = B * (L / SR) / (T * ms / 1000)
     print(f"step: {ms:.1f} ms -> {rt:.2f}x realtime at T={T} "
           f"(22.05 kHz vocoding, B{B})", flush=True)
+    return rt
 
 
 if __name__ == "__main__":
-    main()
+    bench_vocoder()
