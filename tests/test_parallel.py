@@ -148,3 +148,56 @@ def test_sashimi_sharded_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(results[1][0]),
                     jax.tree.leaves(results[8][0])):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_conditional_sharded_step_matches_single_device():
+    """8-dev == 1-dev for CONDITIONAL (vocoder) training: the mel batch is
+    sharded alongside the audio over the data axis, and the mel-branch
+    params (mel_upsampler / mel_conv) must receive identical nonzero
+    updates (round-3 headline fix: the step used to drop `mel`)."""
+    from diffwave_sashimi_tpu.models.sashimi import Sashimi
+
+    L = 256
+    model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), expand=2, ff=2,
+                    L=L, unconditional=False, mel_upsample=(4, 4))
+    schedule = diffusion_schedule(T=10, beta_0=1e-4, beta_T=0.02)
+    rs = np.random.RandomState(2)
+    batch = rs.randn(8, 1, L).astype(np.float32)
+    mel = rs.randn(8, 80, L // 16).astype(np.float32)
+    params0 = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, L)),
+                         jnp.zeros((1,), jnp.int32),
+                         jnp.zeros((1, 80, L // 16)))
+    # Perturb: the zero-init eps head kills every upstream gradient on the
+    # first step from init (grad = W_head^T * ... = 0), which would make the
+    # mel-update assertion below vacuous.
+    leaves, tree = jax.tree.flatten(params0)
+    leaves = [l + jnp.asarray(rs.randn(*l.shape).astype(np.float32) * 0.02)
+              for l in leaves]
+    params0 = jax.tree.unflatten(tree, leaves)
+    optimizer = optax.adam(1e-3)
+    rng = jax.random.PRNGKey(7)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(data=n_dev)
+        with mesh:
+            fresh = jax.tree.map(jnp.array, params0)
+            params = jax.device_put(fresh, replicated(mesh))
+            opt_state = jax.device_put(optimizer.init(fresh),
+                                       replicated(mesh))
+            step = make_train_step(model, optimizer, schedule)
+            p, o, loss = step(params, opt_state, shard_batch(batch, mesh),
+                              shard_batch(mel, mesh), rng)
+            results[n_dev] = (jax.tree.map(np.asarray, p), float(loss))
+
+    np.testing.assert_allclose(results[1][1], results[8][1], rtol=1e-5)
+    paths1, _ = jax.tree_util.tree_flatten_with_path(results[1][0])
+    paths8, _ = jax.tree_util.tree_flatten_with_path(results[8][0])
+    paths0, _ = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(np.asarray, params0))
+    mel_updated = False
+    for (key, a), (_, b), (_, p0) in zip(paths1, paths8, paths0):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+        if "mel" in jax.tree_util.keystr(key) and not np.allclose(a, p0):
+            mel_updated = True
+    assert mel_updated, "mel-branch params received no update"
