@@ -95,22 +95,44 @@ class DataLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         DONE = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put: a consumer that abandons the iterator mid-epoch
+            # (train loop hitting n_iters, a test tearing down) must not
+            # leave this thread blocked on a full queue forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in self._batches(epoch):
-                    q.put(self._collate(b, epoch))
+                    if not _put(self._collate(b, epoch)):
+                        return
             finally:
-                q.put(DONE)
+                _put(DONE)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is DONE:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is DONE:
+                    break
+                yield item
+        finally:
+            stop.set()
+            while True:     # unblock a producer stuck in put()
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5)
 
 
 def dataloader(dataset_cfg, batch_size: int, num_replicas: int = 1,

@@ -172,6 +172,26 @@ def test_dataloader_batching_and_sharding(sc09_dir):
     assert not np.array_equal(e1, e2)
 
 
+def test_dataloader_abandoned_iterator_stops_producer(sc09_dir):
+    """Abandoning iteration mid-epoch (train loop hitting n_iters) must not
+    leak the prefetch producer thread blocked on a full queue — six such
+    threads were alive in the 2026-08-18 suite crash dump."""
+    import threading
+    import time
+
+    cfg = {"_name_": "sc09", "data_path": sc09_dir,
+           "segment_length": 16000, "sampling_rate": 16000}
+    before = threading.active_count()
+    for _ in range(4):
+        it = iter(dataloader(cfg, batch_size=1, unconditional=True))
+        next(it)          # one batch, then abandon mid-epoch
+        it.close()        # what GC does to a live generator
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
 def test_istft_roundtrip():
     from diffwave_sashimi_tpu.data.stft import (istft, stft_complex,
                                                 stft_magnitude)

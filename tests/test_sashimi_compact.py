@@ -19,9 +19,13 @@ def model_and_params():
     # (deepest tier L/16 = 1000 -> n = 2048, R = 256)
     model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), expand=2, ff=2,
                     L=16000)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 1, 16000), jnp.float32),
-                        jnp.zeros((1,), jnp.int32))
+    # jit the init: eager init compiles the block-scan primitive standalone,
+    # which segfaulted XLA:CPU when run late in the full suite (2026-08-18,
+    # reproducible at this fixture twice); the jitted whole-program compile
+    # is also what the library itself always uses (CLAUDE.md fact 4)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 1, 16000), jnp.float32),
+                                 jnp.zeros((1,), jnp.int32))
     return model, params
 
 
@@ -90,9 +94,9 @@ def test_remat_train_grads(block_scan):
     exercise because the auto-kernel gate is backend-conditional."""
     model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), expand=2, ff=2,
                     L=16000, remat=True, block_scan=block_scan)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 1, 16000), jnp.float32),
-                        jnp.zeros((1,), jnp.int32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 1, 16000), jnp.float32),
+                                 jnp.zeros((1,), jnp.int32))
     audio = jnp.ones((1, 1, 16000), jnp.float32) * 0.1
     steps = jnp.asarray(np.array([3], np.int32))
 
