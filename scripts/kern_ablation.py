@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Attribute the train-step's S4 kernel-construction cost (the `kern`
+component of scripts/train_ablation.py — 144 ms of the 237 ms B8 step,
+2026-08-18) between its stages, and measure the bf16-FFT lever.
+
+Times jitted fwd and fwd+vjp of Sashimi.compute_kernels(L, "v2") — the
+exact per-train-step construction: cauchy (Pallas) -> Woodbury ->
+irfft_mxu@L -> rfft_mxu@n -> layout packing — under:
+
+  strict   default: both MXU FFT stages at HIGHEST precision (f32)
+  fast     ops.mxu_fft.set_fast_mode(True): bf16 operands, f32 accum
+           (~6x MXU throughput, rel err ~2e-3 — the same mode the
+           sampling conv chain already uses end-to-end)
+
+Slope-timed with forced D2H (CLAUDE.md facts 5, 13).
+"""
+
+import time
+
+from diffwave_sashimi_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from diffwave_sashimi_tpu.models.sashimi import Sashimi  # noqa: E402
+from diffwave_sashimi_tpu.ops import mxu_fft  # noqa: E402
+
+D, L = 128, 16000
+
+
+def slope(fn, *args):
+    def timed(k):
+        o = None
+        t0 = time.time()
+        for _ in range(k):
+            o = fn(*args)
+        jax.tree.leaves(o)[0].block_until_ready()
+        float(jax.tree.leaves(o)[0].ravel()[0])
+        return time.time() - t0
+    t2, t6 = timed(2), timed(6)
+    return (t6 - t2) / 4 * 1000
+
+
+def main():
+    print(f"device: {jax.devices()[0]}", flush=True)
+    model = Sashimi(d_model=D, n_layers=6, pool=(4, 4), expand=2, ff=2,
+                    L=L, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 1, L), jnp.float32),
+                                 jnp.zeros((1,), jnp.int32))
+
+    def ck(p):
+        return model.apply(p, L, "v2", method=Sashimi.compute_kernels)
+
+    def fwd_bwd(p):
+        out, pull = jax.vjp(ck, p)
+        cot = jax.tree.map(jnp.ones_like, out)
+        (g,) = pull(cot)
+        # reduce to a tiny output so the D2H read is cheap but forces
+        # the whole backward
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(g))
+
+    for mode in ("strict", "fast"):
+        mxu_fft.set_fast_mode(mode == "fast")
+        try:
+            f_fwd = jax.jit(ck)
+            f_fb = jax.jit(fwd_bwd)
+            t0 = time.time()
+            jax.tree.leaves(f_fwd(params))[0].block_until_ready()
+            print(f"[{mode}] fwd compile {time.time() - t0:.0f}s", flush=True)
+            ms_f = slope(f_fwd, params)
+            t0 = time.time()
+            float(f_fb(params))
+            print(f"[{mode}] fwd+bwd compile {time.time() - t0:.0f}s",
+                  flush=True)
+            ms_fb = slope(f_fb, params)
+            print(f"[{mode}] construction fwd {ms_f:7.1f} ms   "
+                  f"fwd+bwd {ms_fb:7.1f} ms", flush=True)
+        finally:
+            mxu_fft.set_fast_mode(False)
+
+
+if __name__ == "__main__":
+    main()

@@ -104,11 +104,16 @@ def build_step(ablate=()):
 
 
 def main():
+    import sys
     print(f"device: {jax.devices()[0]}", flush=True)
     full = build_step()
+    print(f"full train step:     {full:8.1f} ms", flush=True)
+    if "--full-only" in sys.argv:
+        return
     res = {}
     for abl in (("conv",), ("chmix",), ("kern",), ("conv", "chmix", "kern")):
         res[abl] = build_step(abl)
+        print(f"-{'+'.join(abl):16s}  {res[abl]:8.1f} ms", flush=True)
     print(f"full train step:     {full:8.1f} ms")
     for abl, ms in res.items():
         print(f"-{'+'.join(abl):16s}  {ms:8.1f} ms  "
