@@ -123,6 +123,10 @@ class SSKernelNPLR(nn.Module):
     real_tolerance: float = 1e-3
     bandlimit: Optional[float] = None   # mask C above this frequency (ref :707-713)
     cauchy: str = "auto"   # 'auto' | 'pallas' | 'xla' | 'naive'
+    fft_fast: bool = False  # bf16 MXU irfft in kernel construction (opt-in:
+    #   per-TRAIN-step construction is MXU-FFT-bound at HIGHEST precision,
+    #   scripts/kern_ablation.py; sampling hoists construction so it keeps
+    #   the strict default)
 
     def setup(self):
         H, N2 = self.H, self.N // 2
@@ -287,7 +291,8 @@ class SSKernelNPLR(nn.Module):
         # 125 x 128 supported): the XLA VPU FFT here was the single
         # largest piece of per-step kernel construction in training
         if _on_tpu() and discrete_L % 2 == 0:
-            k = mxu_fft.irfft_mxu(k_f, discrete_L)[..., :L]
+            k = mxu_fft.irfft_mxu(k_f, discrete_L,
+                                  fast=True if self.fft_fast else None)[..., :L]
         else:
             k = jnp.fft.irfft(k_f, n=discrete_L)[..., :L]  # (B+1, c, H, L)
         if n_state:
@@ -480,6 +485,8 @@ class S4(nn.Module):
     linear: bool = False                 # drop all pointwise components
     deterministic_init: bool = False
     cauchy: str = "auto"
+    kernel_fft_fast: bool = False  # bf16 MXU FFTs in per-step kernel
+    #   construction (train-path opt-in; see SSKernelNPLR.fft_fast)
     v2_R: Optional[int] = None    # layout-family R for the fused conv
     #   (threaded from the network top tier so pooled tiers share one
     #   compact layout; None = derive from this layer's own n)
@@ -499,7 +506,8 @@ class S4(nn.Module):
                 H=H, N=self.d_state, l_max=self.l_max, channels=c_kernel,
                 measure=self.measure, rank=self.rank, n_ssm=self.n_ssm,
                 dt_min=self.dt_min, dt_max=self.dt_max,
-                deterministic=self.deterministic_init, cauchy=self.cauchy)
+                deterministic=self.deterministic_init, cauchy=self.cauchy,
+                fft_fast=self.kernel_fft_fast)
         elif self.mode == "diag":
             self.kernel = SSKernelDiag(
                 H=H, N=self.d_state, l_max=self.l_max, channels=c_kernel,
@@ -562,7 +570,8 @@ class S4(nn.Module):
         k = self.compute_kernel(L)
         if self.bidirectional:
             k = _combine_bidirectional(k, 1, lay.n)
-        return fftconv2.kernel_spectrum(k[0], lay)
+        return fftconv2.kernel_spectrum(k[0], lay,
+                                        fast=self.kernel_fft_fast)
 
     def compute_kernel_freq(self, L: int) -> jnp.ndarray:
         """Frequency-domain kernel: bidirectional-combined, padded, rfft'd.

@@ -134,6 +134,7 @@ class DiffWaveBlock(nn.Module):
     mel_upsample: Sequence[int] = (16, 16)
     dropout: float = 0.0
     v2_R: Optional[int] = None    # top-tier layout R (see S4.v2_R)
+    kernel_fft_fast: bool = False  # bf16 construction FFTs (see S4)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -142,7 +143,8 @@ class DiffWaveBlock(nn.Module):
         self.fc_t = TorchLinear(self.diffusion_step_embed_dim_out,
                                 self.d_model, name="fc_t", **kw)
         self.s4 = S4(d_model=self.d_model, l_max=self.L, bidirectional=True,
-                     dropout=self.dropout, v2_R=self.v2_R, name="s4", **kw)
+                     dropout=self.dropout, v2_R=self.v2_R,
+                     kernel_fft_fast=self.kernel_fft_fast, name="s4", **kw)
         self.norm1 = TransposedLN(name="norm1", **kw)
         self.norm2 = TransposedLN(name="norm2", **kw)
         self.ff1 = WNConv1d(self.d_model, self.ff * self.d_model,
@@ -311,6 +313,7 @@ class _ScanBlock(nn.Module):
     mel_upsample: Sequence[int] = (16, 16)
     dropout: float = 0.0
     v2_R: Optional[int] = None
+    kernel_fft_fast: bool = False
     emit_skip: bool = False
     consume_skip: bool = False
     dtype: Dtype = jnp.float32
@@ -322,7 +325,7 @@ class _ScanBlock(nn.Module):
             diffusion_step_embed_dim_out=self.diffusion_step_embed_dim_out,
             unconditional=self.unconditional,
             mel_upsample=tuple(self.mel_upsample), dropout=self.dropout,
-            v2_R=self.v2_R,
+            v2_R=self.v2_R, kernel_fft_fast=self.kernel_fft_fast,
             dtype=self.dtype, param_dtype=self.param_dtype, name="block")
 
     def __call__(self, carry, kernel, skip, embed, mel_spec, mel_cond,
@@ -380,6 +383,12 @@ class Sashimi(nn.Module):
     L: int = 16000
     block_scan: bool = True  # nn.scan stages (stacked params, 1-block compile)
     remat: bool = False   # jax.checkpoint each block (memory <-> recompute)
+    kernel_fft_fast: bool = False  # bf16 MXU FFTs in per-step S4 kernel
+    #   construction — the training-throughput lever (construction is 61%
+    #   of the B8 train step and MXU-FFT-bound at HIGHEST precision,
+    #   scripts/train_ablation.py / kern_ablation.py).  Sampling hoists
+    #   construction out of the T-step loop, so generation keeps strict
+    #   f32 regardless.
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -389,7 +398,8 @@ class Sashimi(nn.Module):
                    diffusion_step_embed_dim_out=self.diffusion_step_embed_dim_out,
                    unconditional=self.unconditional,
                    mel_upsample=tuple(self.mel_upsample),
-                   dropout=self.dropout, v2_R=self._v2R(), **kw)
+                   dropout=self.dropout, v2_R=self._v2R(),
+                   kernel_fft_fast=self.kernel_fft_fast, **kw)
 
         self.init_conv = WNConv1d(self.in_channels, self.d_model,
                                   kernel_size=1, name="init_conv", **kw)
@@ -507,6 +517,7 @@ class Sashimi(nn.Module):
             diffusion_step_embed_dim_out=self.diffusion_step_embed_dim_out,
             unconditional=self.unconditional,
             mel_upsample=tuple(self.mel_upsample), v2_R=self._v2R(),
+            kernel_fft_fast=self.kernel_fft_fast,
             dtype=self.dtype, param_dtype=self.param_dtype, parent=None)
 
     def _scan_stage_info(self, audio_length: int):

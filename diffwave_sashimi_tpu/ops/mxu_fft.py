@@ -105,23 +105,35 @@ def _rfft_consts(n: int):
             D2.real.astype(np.float32), D2.imag.astype(np.float32))
 
 
-@partial(jax.jit, static_argnames=("n",))
-def rfft_mxu(x: jnp.ndarray, n: int) -> jnp.ndarray:
+def rfft_mxu(x: jnp.ndarray, n: int, fast=None) -> jnp.ndarray:
     """Real-input FFT of size n (power of two) over the last axis.
 
     x: (..., L) real with L <= n (zero-padded to n).  Returns complex64
     (..., n//2 + 1), matching ``jnp.fft.rfft(x, n=n)``.
+
+    ``fast`` (None -> the module toggle) picks bf16 operands / DEFAULT
+    precision.  It must be resolved OUT here, not inside the jitted body:
+    the inner jit caches the traced jaxpr keyed on (avals, statics) only,
+    so a trace-time read of the global toggle bakes in whichever mode
+    traced first in the process.
     """
+    return _rfft_mxu(x, n, _FAST["enabled"] if fast is None else bool(fast))
+
+
+@partial(jax.jit, static_argnames=("n", "fast"))
+def _rfft_mxu(x: jnp.ndarray, n: int, fast: bool) -> jnp.ndarray:
     N1, N2, K2, D1r, D1i, twr, twi, D2r, D2i = _rfft_consts(n)
     L = x.shape[-1]
     if L < n:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - L)])
-    dt = jnp.bfloat16 if _FAST["enabled"] else jnp.float32
+    dt = jnp.bfloat16 if fast else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
     xf = x.astype(dt).reshape(x.shape[:-1] + (N1, N2))
     D1r_, D1i_ = (jnp.asarray(D1r, dt), jnp.asarray(D1i, dt))
 
     # stage 1 (real input): (..., n1, n2) x (n1, k1) -> (..., k1, n2)
-    kw = dict(precision=_prec(), preferred_element_type=jnp.float32)
+    kw = dict(precision=prec, preferred_element_type=jnp.float32)
     Ar = jnp.einsum("...ab,ak->...kb", xf, D1r_, **kw)
     Ai = jnp.einsum("...ab,ak->...kb", xf, D1i_, **kw)
     # twiddle (k1, n2)
@@ -188,12 +200,17 @@ def _irfft_consts(n: int):
             E1.real.astype(np.float32), E1.imag.astype(np.float32))
 
 
-@partial(jax.jit, static_argnames=("n",))
-def irfft_mxu(X: jnp.ndarray, n: int) -> jnp.ndarray:
+def irfft_mxu(X: jnp.ndarray, n: int, fast=None) -> jnp.ndarray:
     """Inverse of :func:`rfft_mxu`: (..., n//2+1) complex -> (..., n) real.
 
-    Matches ``jnp.fft.irfft(X, n=n)``.
+    Matches ``jnp.fft.irfft(X, n=n)``.  ``fast`` as in :func:`rfft_mxu`
+    (resolved outside the jit cache — see that docstring).
     """
+    return _irfft_mxu(X, n, _FAST["enabled"] if fast is None else bool(fast))
+
+
+@partial(jax.jit, static_argnames=("n", "fast"))
+def _irfft_mxu(X: jnp.ndarray, n: int, fast: bool) -> jnp.ndarray:
     N1, N2, K2, c, E2r, E2i, twmr, twmi, E1r, E1i = _irfft_consts(n)
     half = n // 2 + 1
     assert X.shape[-1] == half, (X.shape, half)
@@ -211,11 +228,13 @@ def irfft_mxu(X: jnp.ndarray, n: int) -> jnp.ndarray:
                  [(0, 0)] * (X.ndim - 1) + [(0, pad)])
     Xr = Xr.reshape(X.shape[:-1] + (K2, N1))   # (k2, k1)
     Xi = Xi.reshape(X.shape[:-1] + (K2, N1))
-    dt = jnp.bfloat16 if _FAST["enabled"] else jnp.float32
+    dt = jnp.bfloat16 if fast else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
     Xr = (jnp.swapaxes(Xr, -1, -2) * c).astype(dt)   # (k1, k2)
     Xi = (jnp.swapaxes(Xi, -1, -2) * c).astype(dt)
 
-    kw = dict(precision=_prec(), preferred_element_type=jnp.float32)
+    kw = dict(precision=prec, preferred_element_type=jnp.float32)
     E2r_, E2i_ = jnp.asarray(E2r, dt), jnp.asarray(E2i, dt)
     # stage 1: contract k2 -> m2: (..., k1, k2) x (k2, m2)
     Sr = jnp.einsum("...kc,cm->...km", Xr, E2r_, **kw) \

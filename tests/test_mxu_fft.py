@@ -51,3 +51,38 @@ def test_linear_convolution_equivalence():
     Y = rfft_mxu(jnp.asarray(u), n) * rfft_mxu(jnp.asarray(k[None]), n)
     y = np.asarray(irfft_mxu(Y, n))[:, :L]
     np.testing.assert_allclose(y, y_ref, atol=1e-3, rtol=1e-4)
+
+
+def test_fast_flag_not_baked_into_jit_cache():
+    """The bf16 fast mode must be a cache key, not a trace-time global.
+
+    Regression: rfft_mxu/irfft_mxu were jitted with the module fast-toggle
+    read inside the traced body — whichever mode traced FIRST for a given
+    shape was silently reused for both modes (set_fast_mode was a no-op
+    after any strict call).  Tripped 2026-08-18 measuring the kernel-
+    construction precision lever on TPU (the "fast" variant cache-hit the
+    strict program: 0 s compile, identical timings).
+    """
+    rng = np.random.RandomState(4)
+    n = 4096
+    x = rng.randn(3, n).astype(np.float32)
+    strict = np.asarray(rfft_mxu(jnp.asarray(x), n, fast=False))
+    fast = np.asarray(rfft_mxu(jnp.asarray(x), n, fast=True))
+    # different precision => different roundoff; identical bits means the
+    # flag was ignored
+    assert np.any(strict != fast)
+    # and both are still correct transforms
+    ref = np.fft.rfft(x, n=n).astype(np.complex64)
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(strict - ref)) / scale < 1e-5
+    assert np.max(np.abs(fast - ref)) / scale < 2e-2
+
+    Xc = (rng.randn(3, n // 2 + 1)
+          + 1j * rng.randn(3, n // 2 + 1)).astype(np.complex64)
+    s_i = np.asarray(irfft_mxu(jnp.asarray(Xc), n, fast=False))
+    f_i = np.asarray(irfft_mxu(jnp.asarray(Xc), n, fast=True))
+    assert np.any(s_i != f_i)
+    ref_i = np.fft.irfft(Xc, n=n).astype(np.float32)
+    scale = np.max(np.abs(ref_i))
+    assert np.max(np.abs(s_i - ref_i)) / scale < 1e-5
+    assert np.max(np.abs(f_i - ref_i)) / scale < 2e-2
