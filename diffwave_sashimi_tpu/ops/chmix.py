@@ -47,13 +47,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fftconv2 import _gelu_exact, _gelu_fast, _interpret
 
+# Auto batch-interleave factor for the eval ln_ff kernel (see ln_ff_res
+# ``bb``); sweepable via scripts/chmix_bb_sweep.py.
+DEFAULT_BB = 1
 
-def _choose_st(S: int, H: int, Rc: int) -> int:
+
+def _choose_st(S: int, H: int, Rc: int, bb: int = 1) -> int:
     """Rows per program: keep N = S_t*Rc >= 1024 where possible while the
-    f32 working set (x tile + 2H intermediate) stays well under VMEM."""
+    f32 working set (x tile + 2H intermediate) stays well under VMEM.
+    ``bb`` > 1 interleaves that many independent batch chains per program
+    (same ILP trick as ops/fftconv2 lay.BB), so the per-chain row budget
+    shrinks to keep the total frame constant."""
     st = S
+    floor = max(8 // bb, 1)
     # budget ~6 MB of f32 across the ~4 live (S_t, 2H, Rc)-class tensors
-    while st > 8 and st * H * Rc * 4 * 6 > 6 * 2 ** 20:
+    while st > floor and st * H * Rc * 4 * 6 * bb > 6 * 2 ** 20:
         st //= 2
     return st
 
@@ -61,10 +69,17 @@ def _choose_st(S: int, H: int, Rc: int) -> int:
 def _choose_st_bwd(S: int, H: int, F: int, Rc: int) -> int:
     """Backward-kernel tile rows: the live set is larger (z, gelu(z), dh,
     dz at width F plus ~6 H-wide tensors, all f32), and Mosaic's frame
-    must stay under the 16 MB scoped-vmem limit."""
+    must stay under the 16 MB scoped-vmem limit.  The frame also carries
+    a batch-row-INDEPENDENT fixed cost — w1/w2t/w1t plus the dw1/dw2
+    VMEM accumulators, ~5 F*H f32 tensors (10 MB at tier-3 H=512/F=1024)
+    — which must come out of the row budget: ignoring it put the tier-3
+    kernel 444 KB over the limit inside the B32 train step (measured
+    2026-08-18, "scoped allocation 16.43M > 16.00M")."""
     per_st = (4 * F + 6 * H) * Rc * 4
+    fixed = 5 * F * H * 4
+    budget = max(11 * 2 ** 20 - fixed, per_st)
     st = S
-    while st > 1 and st * per_st > 8 * 2 ** 20:
+    while st > 1 and st * per_st > budget:
         st //= 2
     return st
 
@@ -164,35 +179,44 @@ def mix_glu_res(y: jnp.ndarray, res: jnp.ndarray, w: jnp.ndarray,
 # out = x + W2 @ gelu(W1 @ TLN(x) + b1) + b2
 
 
-def _ff_kernel(x_ref, *refs, fast: bool, has_skip: bool, emit_stats: bool):
+def _ff_kernel(x_ref, *refs, fast: bool, has_skip: bool, emit_stats: bool,
+               bb: int = 1):
     f32 = jnp.float32
     tmp = jnp.bfloat16 if fast else f32
     refs = list(refs)
     skip_ref = refs.pop(0) if has_skip else None
     w1_ref, b1_ref, w2_ref, b2_ref, ms_ref, o_ref = refs[:6]
     mean_ref, var_ref = (refs[6], refs[7]) if emit_stats else (None, None)
-    xt = x_ref[0].astype(f32)                       # (S_t, H, Rc)
     m = ms_ref[0, 0]
     s = ms_ref[1, 0]
-    mean = jnp.mean(xt, axis=1, keepdims=True)
-    var = jnp.mean(jnp.square(xt), axis=1, keepdims=True) - mean * mean
-    # TransposedLN: (s / std) * (x - mean + m), population std, no eps
-    xn = (s * jax.lax.rsqrt(var)) * (xt - mean + m)
-    z = _bmm(w1_ref[...], xn, tmp)                   # (S_t, 2H, Rc)
-    z = z + b1_ref[...][None]
-    z = _gelu_fast(z) if fast else _gelu_exact(z)
-    o = _bmm(w2_ref[...], z, tmp)                    # (S_t, H, Rc)
-    o = o + b2_ref[...][None]
-    out = xt + o
-    if has_skip:
-        out = out + skip_ref[0].astype(f32)          # fused UNet skip add
-    o_ref[0] = out.astype(o_ref.dtype)
-    if emit_stats:
-        # channel stats of the OUTPUT: the next block's norm1 prologue
-        # consumes these, so its XLA stats reduction disappears
-        mo = jnp.mean(out, axis=1)                   # (S_t, Rc)
-        mean_ref[0] = mo
-        var_ref[0] = jnp.mean(jnp.square(out), axis=1) - mo * mo
+    w1 = w1_ref[...]
+    b1 = b1_ref[...]
+    w2 = w2_ref[...]
+    b2 = b2_ref[...]
+    # bb > 1 unrolls independent per-batch-item chains so the scheduler
+    # can overlap one chain's VPU stages (LN stats, GELU) with another's
+    # MXU matmuls (same ILP trick as ops/fftconv2 lay.BB)
+    for i in range(bb):
+        xt = x_ref[i].astype(f32)                    # (S_t, H, Rc)
+        mean = jnp.mean(xt, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(xt), axis=1, keepdims=True) - mean * mean
+        # TransposedLN: (s / std) * (x - mean + m), population std, no eps
+        xn = (s * jax.lax.rsqrt(var)) * (xt - mean + m)
+        z = _bmm(w1, xn, tmp)                        # (S_t, 2H, Rc)
+        z = z + b1[None]
+        z = _gelu_fast(z) if fast else _gelu_exact(z)
+        o = _bmm(w2, z, tmp)                         # (S_t, H, Rc)
+        o = o + b2[None]
+        out = xt + o
+        if has_skip:
+            out = out + skip_ref[i].astype(f32)      # fused UNet skip add
+        o_ref[i] = out.astype(o_ref.dtype)
+        if emit_stats:
+            # channel stats of the OUTPUT: the next block's norm1 prologue
+            # consumes these, so its XLA stats reduction disappears
+            mo = jnp.mean(out, axis=1)               # (S_t, Rc)
+            mean_ref[i] = mo
+            var_ref[i] = jnp.mean(jnp.square(out), axis=1) - mo * mo
 
 
 def ln_ff_res_ref(x, m, s, w1, b1, w2, b2, skip=None, emit_stats=False):
@@ -221,7 +245,7 @@ def ln_ff_res(x: jnp.ndarray, m: jnp.ndarray, s: jnp.ndarray,
               w1: jnp.ndarray, b1: jnp.ndarray,
               w2: jnp.ndarray, b2: jnp.ndarray,
               fast: bool = True, skip: Optional[jnp.ndarray] = None,
-              emit_stats: bool = False):
+              emit_stats: bool = False, bb: Optional[int] = None):
     """x: (B, S, H, Rc) -> x + ff2(gelu(ff1(TLN(x)))) [+ skip], one HBM
     pass.  With ``emit_stats`` also returns (mean, var) of the output
     over the channel dim — the next block's norm1 prologue input, so the
@@ -231,24 +255,29 @@ def ln_ff_res(x: jnp.ndarray, m: jnp.ndarray, s: jnp.ndarray,
     (reference models/sashimi.py:116-123: LayerNorm + ff Conv pair) and
     the UNet skip add (reference models/sashimi.py:300-307).
     w1: (F, H); w2: (H, F); m, s: TransposedLN scalars, shape (1,).
+    ``bb``: independent batch chains per program (None = auto).
     """
     if _interpret():
         return ln_ff_res_ref(x, m, s, w1, b1, w2, b2, skip, emit_stats)
     B, S, H, Rc = x.shape
     F = w1.shape[0]
-    St = _choose_st(S, max(H, F), Rc)
+    if bb is None:
+        bb = DEFAULT_BB
+    if B % bb != 0:
+        bb = 1
+    St = _choose_st(S, max(H, F), Rc, bb)
     assert S % St == 0, (S, St)
     b1c = b1.astype(jnp.float32).reshape(-1, 1)
     b2c = b2.astype(jnp.float32).reshape(-1, 1)
     ms = jnp.stack([m.astype(jnp.float32).reshape(()),
                     s.astype(jnp.float32).reshape(())]).reshape(2, 1)
-    io_spec = pl.BlockSpec((1, St, H, Rc), lambda bb, ss: (bb, ss, 0, 0),
+    io_spec = pl.BlockSpec((bb, St, H, Rc), lambda gb, ss: (gb, ss, 0, 0),
                            memory_space=pltpu.VMEM)
-    st_spec = pl.BlockSpec((1, St, Rc), lambda bb, ss: (bb, ss, 0),
+    st_spec = pl.BlockSpec((bb, St, Rc), lambda gb, ss: (gb, ss, 0),
                            memory_space=pltpu.VMEM)
 
     def full(a):
-        return pl.BlockSpec(a.shape, lambda bb, ss: (0,) * a.ndim,
+        return pl.BlockSpec(a.shape, lambda gb, ss: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
     ins = [x] + ([skip] if skip is not None else []) \
@@ -263,8 +292,8 @@ def ln_ff_res(x: jnp.ndarray, m: jnp.ndarray, s: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_ff_kernel, fast=fast,
                           has_skip=skip is not None,
-                          emit_stats=emit_stats),
-        grid=(B, S // St),
+                          emit_stats=emit_stats, bb=bb),
+        grid=(B // bb, S // St),
         in_specs=in_specs,
         out_specs=out_specs if emit_stats else out_specs[0],
         out_shape=out_shape if emit_stats else out_shape[0],
