@@ -230,12 +230,13 @@ def main():
         print(f"[bench] fast-schedule bench failed: {type(e).__name__}",
               file=sys.stderr, flush=True)
         realtime_fast = None
-    # B16 amortizes the batch-independent per-step kernel construction
-    # (scripts/train_ablation.py: 144 ms of the 237 ms B8 step): measured
-    # 43.6 samples/s at B16 vs 33.8 at B8 (2026-08-18).  B32 exceeds the
-    # tier-3 ln_ff kernel's scoped-VMEM frame.
+    # Large batch amortizes the batch-independent per-step kernel
+    # construction (scripts/train_ablation.py: 144 ms of the 237 ms B8
+    # step): measured 50.9 samples/s at B32 vs 43.6 at B16 vs 33.8 at B8
+    # (2026-08-18/19; B32 fits since the _choose_st_bwd fixed-cost fix
+    # brought the tier-3 ln_ff backward inside the scoped-VMEM frame).
     steps_per_sec = None
-    for tb in (16, 8, 4, 2):
+    for tb in (32, 16, 8, 4, 2):
         try:
             steps_per_sec = measure_train_step(batch=tb)
             train_batch = tb

@@ -123,10 +123,11 @@ class SSKernelNPLR(nn.Module):
     real_tolerance: float = 1e-3
     bandlimit: Optional[float] = None   # mask C above this frequency (ref :707-713)
     cauchy: str = "auto"   # 'auto' | 'pallas' | 'xla' | 'naive'
-    fft_fast: bool = False  # bf16 MXU irfft in kernel construction (opt-in:
-    #   per-TRAIN-step construction is MXU-FFT-bound at HIGHEST precision,
-    #   scripts/kern_ablation.py; sampling hoists construction so it keeps
-    #   the strict default)
+    fft_fast: Any = False  # MXU irfft precision in kernel construction:
+    #   False strict-f32 (6-pass), "high" bf16x3 (3-pass, rel err ~1e-6),
+    #   True bf16 (1-pass, rel err ~2e-3).  Per-TRAIN-step construction is
+    #   MXU-FFT-bound at HIGHEST precision (scripts/kern_ablation.py);
+    #   sampling hoists construction so it keeps the strict default
 
     def setup(self):
         H, N2 = self.H, self.N // 2
@@ -292,7 +293,7 @@ class SSKernelNPLR(nn.Module):
         # largest piece of per-step kernel construction in training
         if _on_tpu() and discrete_L % 2 == 0:
             k = mxu_fft.irfft_mxu(k_f, discrete_L,
-                                  fast=True if self.fft_fast else None)[..., :L]
+                                  fast=self.fft_fast or None)[..., :L]
         else:
             k = jnp.fft.irfft(k_f, n=discrete_L)[..., :L]  # (B+1, c, H, L)
         if n_state:
@@ -485,8 +486,8 @@ class S4(nn.Module):
     linear: bool = False                 # drop all pointwise components
     deterministic_init: bool = False
     cauchy: str = "auto"
-    kernel_fft_fast: bool = False  # bf16 MXU FFTs in per-step kernel
-    #   construction (train-path opt-in; see SSKernelNPLR.fft_fast)
+    kernel_fft_fast: Any = False  # MXU FFT precision in per-step kernel
+    #   construction: False / "high" / True (see SSKernelNPLR.fft_fast)
     v2_R: Optional[int] = None    # layout-family R for the fused conv
     #   (threaded from the network top tier so pooled tiers share one
     #   compact layout; None = derive from this layer's own n)

@@ -134,7 +134,7 @@ class DiffWaveBlock(nn.Module):
     mel_upsample: Sequence[int] = (16, 16)
     dropout: float = 0.0
     v2_R: Optional[int] = None    # top-tier layout R (see S4.v2_R)
-    kernel_fft_fast: bool = False  # bf16 construction FFTs (see S4)
+    kernel_fft_fast: Any = False  # construction-FFT precision (see S4)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -313,7 +313,7 @@ class _ScanBlock(nn.Module):
     mel_upsample: Sequence[int] = (16, 16)
     dropout: float = 0.0
     v2_R: Optional[int] = None
-    kernel_fft_fast: bool = False
+    kernel_fft_fast: Any = False
     emit_skip: bool = False
     consume_skip: bool = False
     dtype: Dtype = jnp.float32
@@ -383,7 +383,7 @@ class Sashimi(nn.Module):
     L: int = 16000
     block_scan: bool = True  # nn.scan stages (stacked params, 1-block compile)
     remat: bool = False   # jax.checkpoint each block (memory <-> recompute)
-    kernel_fft_fast: bool = False  # bf16 MXU FFTs in per-step S4 kernel
+    kernel_fft_fast: Any = False  # per-step S4 construction-FFT precision
     #   construction — the training-throughput lever (construction is 61%
     #   of the B8 train step and MXU-FFT-bound at HIGHEST precision,
     #   scripts/train_ablation.py / kern_ablation.py).  Sampling hoists

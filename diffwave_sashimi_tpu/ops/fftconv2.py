@@ -267,7 +267,7 @@ def _consts(lay: Layout):
 
 
 def kernel_spectrum(k_time: jnp.ndarray, lay: Layout,
-                    fast: bool = False) -> tuple:
+                    fast=False) -> tuple:
     """Combined time kernel (H, n) (or (H, <=n), zero-extended) ->
     (kfr, kfi): each (G, Q, HB, R) f32 with the inverse-transform scale
     c_k (1/n at k in {0, n/2}, 2/n for 0<k<n/2, 0 above Nyquist) folded in.
@@ -281,7 +281,7 @@ def kernel_spectrum(k_time: jnp.ndarray, lay: Layout,
     from . import mxu_fft
     if jax.default_backend() in ("tpu", "axon"):
         Kf = mxu_fft.rfft_mxu(k_time.astype(jnp.float32), n,
-                              fast=True if fast else None)
+                              fast=fast or None)
     else:
         Kf = jnp.fft.rfft(k_time.astype(jnp.float32), n=n)
     # c-scale over the (ks, kr) grid, k = kr + R*ks

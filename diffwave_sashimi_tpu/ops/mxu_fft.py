@@ -34,29 +34,39 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# f32 matmuls on the MXU
-_PRECISION = jax.lax.Precision.HIGHEST
-
-# Fast mode: bf16 operands with f32 accumulation. Halves HBM traffic (the
-# transform is bandwidth-bound at audio sizes) and runs the MXU ~6x faster
-# than strict-f32; relative error grows from ~3e-7 to ~2e-3. The S4 conv
-# path exposes this via fft_fast (quality-validated end to end in tests).
+# Precision modes for the transform matmuls (TPU MXU executes f32 dots as
+# k bf16 passes — the mode picks k and the operand dtype):
+#   "strict"  f32 operands, Precision.HIGHEST (6-pass): rel err ~3e-7
+#   "high"    f32 operands, Precision.HIGH (3-pass bf16x3): ~2x the MXU
+#             throughput of strict at rel err ~1e-6 — accurate enough for
+#             per-train-step kernel construction (scripts/kern_ablation.py)
+#   "fast"    bf16 operands, Precision.DEFAULT (1 pass): ~6x, rel err ~2e-3;
+#             also halves HBM traffic.  The S4 conv path exposes this via
+#             fft_fast (quality-validated end to end in tests).
 _FAST = {"enabled": False}
 
 
-def set_fast_mode(enabled: bool) -> None:
-    _FAST["enabled"] = bool(enabled)
+def set_fast_mode(enabled) -> None:
+    """False -> strict, True -> fast, or an explicit mode string."""
+    _FAST["enabled"] = enabled
 
 
-def _maybe_bf16(*arrays):
-    if _FAST["enabled"]:
-        return tuple(a.astype(jnp.bfloat16) for a in arrays)
-    return arrays
+def _norm_mode(fast) -> str:
+    if fast in (None, False, "strict"):
+        return "strict"
+    if fast in (True, "fast"):
+        return "fast"
+    if fast == "high":
+        return "high"
+    raise ValueError(f"bad fft precision mode: {fast!r}")
 
 
-def _prec():
-    return (jax.lax.Precision.DEFAULT if _FAST["enabled"]
-            else jax.lax.Precision.HIGHEST)
+def _mode_dtype_prec(mode: str):
+    if mode == "fast":
+        return jnp.bfloat16, jax.lax.Precision.DEFAULT
+    if mode == "high":
+        return jnp.float32, jax.lax.Precision.HIGH
+    return jnp.float32, jax.lax.Precision.HIGHEST
 
 
 def _split_size(n: int) -> Tuple[int, int]:
@@ -111,24 +121,24 @@ def rfft_mxu(x: jnp.ndarray, n: int, fast=None) -> jnp.ndarray:
     x: (..., L) real with L <= n (zero-padded to n).  Returns complex64
     (..., n//2 + 1), matching ``jnp.fft.rfft(x, n=n)``.
 
-    ``fast`` (None -> the module toggle) picks bf16 operands / DEFAULT
-    precision.  It must be resolved OUT here, not inside the jitted body:
-    the inner jit caches the traced jaxpr keyed on (avals, statics) only,
-    so a trace-time read of the global toggle bakes in whichever mode
-    traced first in the process.
+    ``fast`` (None -> the module toggle; False/"strict", "high", or
+    True/"fast") picks the precision mode (see the module header).  It
+    must be resolved OUT here, not inside the jitted body: the inner jit
+    caches the traced jaxpr keyed on (avals, statics) only, so a
+    trace-time read of the global toggle bakes in whichever mode traced
+    first in the process.
     """
-    return _rfft_mxu(x, n, _FAST["enabled"] if fast is None else bool(fast))
+    return _rfft_mxu(x, n, _norm_mode(
+        _FAST["enabled"] if fast is None else fast))
 
 
-@partial(jax.jit, static_argnames=("n", "fast"))
-def _rfft_mxu(x: jnp.ndarray, n: int, fast: bool) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("n", "mode"))
+def _rfft_mxu(x: jnp.ndarray, n: int, mode: str) -> jnp.ndarray:
     N1, N2, K2, D1r, D1i, twr, twi, D2r, D2i = _rfft_consts(n)
     L = x.shape[-1]
     if L < n:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - L)])
-    dt = jnp.bfloat16 if fast else jnp.float32
-    prec = (jax.lax.Precision.DEFAULT if fast
-            else jax.lax.Precision.HIGHEST)
+    dt, prec = _mode_dtype_prec(mode)
     xf = x.astype(dt).reshape(x.shape[:-1] + (N1, N2))
     D1r_, D1i_ = (jnp.asarray(D1r, dt), jnp.asarray(D1i, dt))
 
@@ -206,11 +216,12 @@ def irfft_mxu(X: jnp.ndarray, n: int, fast=None) -> jnp.ndarray:
     Matches ``jnp.fft.irfft(X, n=n)``.  ``fast`` as in :func:`rfft_mxu`
     (resolved outside the jit cache — see that docstring).
     """
-    return _irfft_mxu(X, n, _FAST["enabled"] if fast is None else bool(fast))
+    return _irfft_mxu(X, n, _norm_mode(
+        _FAST["enabled"] if fast is None else fast))
 
 
-@partial(jax.jit, static_argnames=("n", "fast"))
-def _irfft_mxu(X: jnp.ndarray, n: int, fast: bool) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("n", "mode"))
+def _irfft_mxu(X: jnp.ndarray, n: int, mode: str) -> jnp.ndarray:
     N1, N2, K2, c, E2r, E2i, twmr, twmi, E1r, E1i = _irfft_consts(n)
     half = n // 2 + 1
     assert X.shape[-1] == half, (X.shape, half)
@@ -228,9 +239,7 @@ def _irfft_mxu(X: jnp.ndarray, n: int, fast: bool) -> jnp.ndarray:
                  [(0, 0)] * (X.ndim - 1) + [(0, pad)])
     Xr = Xr.reshape(X.shape[:-1] + (K2, N1))   # (k2, k1)
     Xi = Xi.reshape(X.shape[:-1] + (K2, N1))
-    dt = jnp.bfloat16 if fast else jnp.float32
-    prec = (jax.lax.Precision.DEFAULT if fast
-            else jax.lax.Precision.HIGHEST)
+    dt, prec = _mode_dtype_prec(mode)
     Xr = (jnp.swapaxes(Xr, -1, -2) * c).astype(dt)   # (k1, k2)
     Xi = (jnp.swapaxes(Xi, -1, -2) * c).astype(dt)
 

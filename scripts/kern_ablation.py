@@ -57,7 +57,8 @@ def main():
                                  jnp.zeros((1, 1, L), jnp.float32),
                                  jnp.zeros((1,), jnp.int32))
 
-    for mode in ("strict", "fast"):
+    strict_out = None
+    for mode in ("strict", "high", "fast"):
         # fresh function objects per mode: jax.jit's dispatch cache keys on
         # the underlying function identity + avals, so re-jitting the SAME
         # function after toggling the mode silently reuses the first
@@ -75,13 +76,25 @@ def main():
             return sum(jnp.sum(x.astype(jnp.float32))
                        for x in jax.tree.leaves(g))
 
-        mxu_fft.set_fast_mode(mode == "fast")
+        mxu_fft.set_fast_mode(False if mode == "strict" else mode)
         try:
             f_fwd = jax.jit(ck)
             f_fb = jax.jit(fwd_bwd)
             t0 = time.time()
-            jax.tree.leaves(f_fwd(params))[0].block_until_ready()
+            out = f_fwd(params)
+            jax.tree.leaves(out)[0].block_until_ready()
             print(f"[{mode}] fwd compile {time.time() - t0:.0f}s", flush=True)
+            # on-chip accuracy of this mode's kernels vs the strict ones
+            flat = jnp.concatenate([jnp.ravel(x).astype(jnp.float32)
+                                    for x in jax.tree.leaves(out)])
+            host = np.asarray(jax.device_get(flat))
+            if mode == "strict":
+                strict_out = host
+            else:
+                d = np.abs(host - strict_out)
+                scale = np.abs(strict_out).max()
+                print(f"[{mode}] kernel err vs strict: max {d.max():.2e} "
+                      f"rel {d.max() / scale:.2e}", flush=True)
             ms_f = slope(f_fwd, params)
             t0 = time.time()
             float(f_fb(params))

@@ -86,3 +86,21 @@ def test_fast_flag_not_baked_into_jit_cache():
     scale = np.max(np.abs(ref_i))
     assert np.max(np.abs(s_i - ref_i)) / scale < 1e-5
     assert np.max(np.abs(f_i - ref_i)) / scale < 2e-2
+
+
+def test_high_mode_plumbing_and_accuracy():
+    """"high" (bf16x3, Precision.HIGH) mode: accepted by the public API,
+    distinct jit-cache key, and at least f32-class accurate off-TPU (on
+    CPU HIGH lowers to plain f32; the on-chip 3-pass accuracy is guarded
+    by scripts/kern_ablation.py / scripts/tpu_smoke.py)."""
+    rng = np.random.RandomState(5)
+    n = 4096
+    x = rng.randn(3, n).astype(np.float32)
+    ref = np.fft.rfft(x, n=n).astype(np.complex64)
+    scale = np.max(np.abs(ref))
+    out = np.asarray(rfft_mxu(jnp.asarray(x), n, fast="high"))
+    assert np.max(np.abs(out - ref)) / scale < 1e-5
+    y = np.asarray(irfft_mxu(jnp.asarray(ref), n, fast="high"))
+    np.testing.assert_allclose(y, x, atol=1e-4)
+    with pytest.raises(ValueError):
+        rfft_mxu(jnp.asarray(x), n, fast="bogus")
