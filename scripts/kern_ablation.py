@@ -7,10 +7,14 @@ Times jitted fwd and fwd+vjp of Sashimi.compute_kernels(L, "v2") — the
 exact per-train-step construction: cauchy (Pallas) -> Woodbury ->
 irfft_mxu@L -> rfft_mxu@n -> layout packing — under:
 
-  strict   default: both MXU FFT stages at HIGHEST precision (f32)
-  fast     ops.mxu_fft.set_fast_mode(True): bf16 operands, f32 accum
-           (~6x MXU throughput, rel err ~2e-3 — the same mode the
-           sampling conv chain already uses end-to-end)
+  strict   default: both MXU FFT stages at HIGHEST precision (f32, 6-pass)
+  high     Precision.HIGH: f32 operands, 3-pass bf16x3 (~2x MXU
+           throughput of strict, rel err ~1e-6)
+  fast     bf16 operands, DEFAULT precision (~6x MXU throughput, rel err
+           ~2e-3 — the same mode the sampling conv chain uses end-to-end)
+
+Each non-strict mode also reports the on-chip kernel error vs strict
+(reduced on device — a full-kernel D2H through the tunnel is minutes).
 
 Slope-timed with forced D2H (CLAUDE.md facts 5, 13).
 """
@@ -22,6 +26,7 @@ from diffwave_sashimi_tpu.utils import enable_compile_cache
 enable_compile_cache()
 
 import jax  # noqa: E402
+import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from diffwave_sashimi_tpu.models.sashimi import Sashimi  # noqa: E402
@@ -84,17 +89,24 @@ def main():
             out = f_fwd(params)
             jax.tree.leaves(out)[0].block_until_ready()
             print(f"[{mode}] fwd compile {time.time() - t0:.0f}s", flush=True)
-            # on-chip accuracy of this mode's kernels vs the strict ones
-            flat = jnp.concatenate([jnp.ravel(x).astype(jnp.float32)
-                                    for x in jax.tree.leaves(out)])
-            host = np.asarray(jax.device_get(flat))
+            # on-chip accuracy vs strict: reduce ON DEVICE (a full-kernel
+            # D2H is hundreds of MB through the tunnel — minutes)
             if mode == "strict":
-                strict_out = host
+                strict_out = out
             else:
-                d = np.abs(host - strict_out)
-                scale = np.abs(strict_out).max()
-                print(f"[{mode}] kernel err vs strict: max {d.max():.2e} "
-                      f"rel {d.max() / scale:.2e}", flush=True)
+                @jax.jit
+                def _err(a, b):
+                    m = s = jnp.float32(0)
+                    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                        m = jnp.maximum(m, jnp.max(jnp.abs(
+                            x.astype(jnp.float32) - y.astype(jnp.float32))))
+                        s = jnp.maximum(s, jnp.max(jnp.abs(
+                            y.astype(jnp.float32))))
+                    return m, s
+                m, s = _err(out, strict_out)
+                m, s = float(m), float(s)
+                print(f"[{mode}] kernel err vs strict: max {m:.2e} "
+                      f"rel {m / s:.2e}", flush=True)
             ms_f = slope(f_fwd, params)
             t0 = time.time()
             float(f_fb(params))
