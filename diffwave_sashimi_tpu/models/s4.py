@@ -124,10 +124,13 @@ class SSKernelNPLR(nn.Module):
     bandlimit: Optional[float] = None   # mask C above this frequency (ref :707-713)
     cauchy: str = "auto"   # 'auto' | 'pallas' | 'xla' | 'naive'
     fft_fast: Any = False  # MXU irfft precision in kernel construction:
-    #   False strict-f32 (6-pass), "high" bf16x3 (3-pass, rel err ~1e-6),
-    #   True bf16 (1-pass, rel err ~2e-3).  Per-TRAIN-step construction is
-    #   MXU-FFT-bound at HIGHEST precision (scripts/kern_ablation.py);
-    #   sampling hoists construction so it keeps the strict default
+    #   "strict" f32 (6-pass), "high" bf16x3 (3-pass, rel err ~1e-6),
+    #   True bf16 (1-pass, rel err ~2e-3).  NOTE: the default False DEFERS
+    #   to the module-global ops.mxu_fft.set_fast_mode toggle (strict
+    #   unless toggled); pass "strict" to force strict regardless of the
+    #   global.  Per-TRAIN-step construction is MXU-FFT-bound at HIGHEST
+    #   precision (scripts/kern_ablation.py); sampling hoists construction
+    #   so it keeps the strict default
 
     def setup(self):
         H, N2 = self.H, self.N // 2

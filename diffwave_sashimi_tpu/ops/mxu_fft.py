@@ -47,8 +47,11 @@ _FAST = {"enabled": False}
 
 
 def set_fast_mode(enabled) -> None:
-    """False -> strict, True -> fast, or an explicit mode string."""
-    _FAST["enabled"] = enabled
+    """False -> strict, True -> fast, or an explicit mode string.
+
+    Validates eagerly (a typo like "hgih" raises HERE, not at the next
+    rfft call far from the bad set site) and stores the normalized mode."""
+    _FAST["enabled"] = _norm_mode(enabled)
 
 
 def _norm_mode(fast) -> str:

@@ -26,7 +26,6 @@ from diffwave_sashimi_tpu.utils import enable_compile_cache
 enable_compile_cache()
 
 import jax  # noqa: E402
-import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from diffwave_sashimi_tpu.models.sashimi import Sashimi  # noqa: E402
@@ -96,17 +95,24 @@ def main():
             else:
                 @jax.jit
                 def _err(a, b):
-                    m = s = jnp.float32(0)
+                    # worst PER-LEAF relative error (a global max-diff /
+                    # global max-magnitude ratio understates error on
+                    # small-magnitude leaves); zero-scale leaves report 0
+                    # if exactly matched, else inf
+                    m = r = jnp.float32(0)
                     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
-                        m = jnp.maximum(m, jnp.max(jnp.abs(
-                            x.astype(jnp.float32) - y.astype(jnp.float32))))
-                        s = jnp.maximum(s, jnp.max(jnp.abs(
-                            y.astype(jnp.float32))))
-                    return m, s
-                m, s = _err(out, strict_out)
-                m, s = float(m), float(s)
-                print(f"[{mode}] kernel err vs strict: max {m:.2e} "
-                      f"rel {m / s:.2e}", flush=True)
+                        mi = jnp.max(jnp.abs(
+                            x.astype(jnp.float32) - y.astype(jnp.float32)))
+                        si = jnp.max(jnp.abs(y.astype(jnp.float32)))
+                        ri = jnp.where(si > 0, mi / jnp.maximum(si, 1e-30),
+                                       jnp.where(mi > 0, jnp.inf,
+                                                 jnp.float32(0)))
+                        m = jnp.maximum(m, mi)
+                        r = jnp.maximum(r, ri)
+                    return m, r
+                m, r = _err(out, strict_out)
+                print(f"[{mode}] kernel err vs strict: max {float(m):.2e} "
+                      f"worst-leaf rel {float(r):.2e}", flush=True)
             ms_f = slope(f_fwd, params)
             t0 = time.time()
             float(f_fb(params))

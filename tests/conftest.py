@@ -20,6 +20,17 @@ import pytest  # noqa: E402
 REFERENCE_DIR = "/root/reference"
 
 
+def pytest_collection_modifyitems(config, items):
+    """Auto-mark every torch-oracle test ``slow``: importing + running the
+    reference torch model dominates suite time on this 1-core box.  Heavy
+    non-oracle modules (multi-device training, end-to-end pipelines) carry
+    an explicit module-level ``pytestmark`` instead.  Fast lane:
+    ``pytest -m 'not slow'`` (<10 min); full lane: plain ``pytest``."""
+    for item in items:
+        if "torch_ref" in getattr(item, "fixturenames", ()):
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def torch_ref():
     """Import the reference torch implementation, patched to run on CPU.

@@ -8,6 +8,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-device / end-to-end heavy (fast lane skips)
 from scipy.io import wavfile
 
 from diffwave_sashimi_tpu.config import load_config

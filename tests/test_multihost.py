@@ -17,6 +17,10 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # spawns 2 OS processes, each compiles its own programs
+
 
 WORKER = r"""
 import os, pickle, sys

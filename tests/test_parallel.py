@@ -11,6 +11,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-device / end-to-end heavy (fast lane skips)
+
 from diffwave_sashimi_tpu.diffusion import diffusion_schedule
 from diffwave_sashimi_tpu.models.wavenet import WaveNet
 from diffwave_sashimi_tpu.parallel import (make_mesh, replicated, shard_batch)

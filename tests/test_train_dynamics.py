@@ -16,6 +16,8 @@ Randomness is injected: both sides consume the same precomputed
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-device / end-to-end heavy (fast lane skips)
+
 import jax
 import jax.numpy as jnp
 import optax

@@ -4,6 +4,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-device / end-to-end heavy (fast lane skips)
 from scipy.io import wavfile
 
 import jax
