@@ -5,7 +5,8 @@ Builds the d128/L16000 remat train step twice from the SAME init — strict
 (default) and kernel_fft_fast=True (bf16 MXU FFTs inside per-step S4
 kernel construction) — then:
 
-  1. runs K steps of each on the same synthetic batch stream and prints
+  1. runs K steps of each (strict / "high" bf16x3 / fast bf16) on the
+     same synthetic batch stream and prints
      the loss trajectories (the fast path must track strict and decrease;
      diffusion training is noise-dominated, so a few-percent divergence
      is expected and fine);
@@ -32,10 +33,10 @@ from diffwave_sashimi_tpu.runtime.train import make_train_step  # noqa: E402
 D, L = 128, 16000
 
 
-def build(fast: bool, batch: int):
+def build(mode, batch: int):
     model = Sashimi(d_model=D, n_layers=6, pool=(4, 4), expand=2, ff=2,
                     L=L, dtype=jnp.bfloat16, remat=True,
-                    kernel_fft_fast=fast)
+                    kernel_fft_fast=mode)
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 1, L), jnp.float32),
                                  jnp.zeros((1,), jnp.int32))
@@ -46,9 +47,9 @@ def build(fast: bool, batch: int):
     return step, params, opt_state
 
 
-def run(fast: bool, batch: int, steps: int):
-    tag = "fast" if fast else "strict"
-    step, p, o = build(fast, batch)
+def run(mode, batch: int, steps: int):
+    tag = {False: "strict", "high": "high", True: "fast"}[mode]
+    step, p, o = build(mode, batch)
     audio = jax.random.normal(jax.random.PRNGKey(9), (batch, 1, L)) * 0.1
     t0 = time.time()
     losses = []
@@ -87,9 +88,10 @@ def main():
     args = ap.parse_args()
     print(f"device: {jax.devices()[0]}  B={args.batch}", flush=True)
     ms_s = run(False, args.batch, args.steps)
+    ms_h = run("high", args.batch, args.steps)
     ms_f = run(True, args.batch, args.steps)
-    print(f"speedup: {ms_s / ms_f:.2f}x "
-          f"({ms_s:.1f} -> {ms_f:.1f} ms/step)")
+    print(f"speedup high: {ms_s / ms_h:.2f}x ({ms_s:.1f} -> {ms_h:.1f}), "
+          f"fast: {ms_s / ms_f:.2f}x ({ms_s:.1f} -> {ms_f:.1f} ms/step)")
 
 
 if __name__ == "__main__":
