@@ -256,3 +256,52 @@ def load_config(config_name: str = "config",
     """
     composer = _Composer(config_dir or default_config_dir())
     return composer.compose(config_name, overrides or [])
+
+
+def _split_top_level_commas(text: str) -> List[str]:
+    """Split a sweep value on commas that are not inside []/()/quotes
+    (so ``pool=[2,2],[4,4]`` is two choices, not four)."""
+    parts, depth, quote, cur = [], 0, None, []
+    for ch in text:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def sweep_overrides(overrides: Sequence[str]) -> List[List[str]]:
+    """Hydra ``--multirun`` choice-sweep expansion: each override whose
+    value is a top-level comma list (``model.d_model=32,64``) becomes a
+    sweep dimension; the result is the cartesian product of all
+    dimensions, in Hydra's order (later overrides vary fastest).
+    Mirrors the sweep surface the reference gets for free from
+    ``@hydra.main`` (reference train.py:226)."""
+    import itertools
+
+    dims: List[List[str]] = []
+    for ov in overrides:
+        if "=" in ov:
+            key, val = ov.split("=", 1)
+            choices = _split_top_level_commas(val)
+            dims.append([f"{key}={c}" for c in choices])
+        else:
+            dims.append([ov])
+    return [list(combo) for combo in itertools.product(*dims)]
+
+
+def extract_multirun_flag(args: Sequence[str]) -> tuple:
+    """Strip ``-m``/``--multirun`` from CLI args; return (args, multirun)."""
+    out = [a for a in args if a not in ("-m", "--multirun")]
+    return out, len(out) != len(args)

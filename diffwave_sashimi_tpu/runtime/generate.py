@@ -247,13 +247,25 @@ def generate(diffusion_cfg, model_cfg, dataset_cfg,
 
 
 def main(argv=None):
-    """CLI: dwst-generate <hydra-style overrides> (mirrors generate.py:203)."""
+    """CLI: dwst-generate <hydra-style overrides> (mirrors generate.py:203).
+
+    ``-m``/``--multirun`` sweeps comma-listed override values as
+    sequential jobs (Hydra choice sweeper; see runtime/train.main)."""
     import sys
-    from ..config import load_config
+    from ..config import extract_multirun_flag, load_config, sweep_overrides
 
     from ..utils import enable_compile_cache
     enable_compile_cache()
-    cfg = load_config(overrides=(argv if argv is not None else sys.argv[1:]))
+    args, multirun = extract_multirun_flag(
+        argv if argv is not None else sys.argv[1:])
+    if multirun:
+        jobs = sweep_overrides(args)
+        for i, job in enumerate(jobs):
+            print(f"[multirun] job {i}/{len(jobs)}: {' '.join(job)}",
+                  flush=True)
+            main(job)
+        return
+    cfg = load_config(overrides=args)
     # strict-f32 runs also run the fused conv kernel at strict f32
     from ..ops import fftconv_pallas
     if cfg.get_path("compute.precision", "bf16") in ("f32", "float32"):

@@ -279,13 +279,27 @@ def train(diffusion_cfg, model_cfg, dataset_cfg, generate_cfg,
 
 
 def main(argv=None):
-    """CLI: dwst-train <hydra-style overrides> (mirrors train.py:226)."""
+    """CLI: dwst-train <hydra-style overrides> (mirrors train.py:226).
+
+    ``-m``/``--multirun`` sweeps comma-listed override values
+    (``dwst-train -m model.d_model=32,64``) as sequential jobs, like
+    Hydra's choice sweeper; each job lands in its own exp/<name> dir via
+    the config-derived run naming."""
     import sys
-    from ..config import load_config
+    from ..config import extract_multirun_flag, load_config, sweep_overrides
 
     from ..utils import enable_compile_cache
     enable_compile_cache()
-    cfg = load_config(overrides=(argv if argv is not None else sys.argv[1:]))
+    args, multirun = extract_multirun_flag(
+        argv if argv is not None else sys.argv[1:])
+    if multirun:
+        jobs = sweep_overrides(args)
+        for i, job in enumerate(jobs):
+            print(f"[multirun] job {i}/{len(jobs)}: {' '.join(job)}",
+                  flush=True)
+            main(job)
+        return
+    cfg = load_config(overrides=args)
     # strict-f32 runs also run the fused conv kernel at strict f32
     from ..ops import fftconv_pallas
     if cfg.get_path("compute.precision", "bf16") in ("f32", "float32"):

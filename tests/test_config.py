@@ -78,3 +78,30 @@ def test_find_max_epoch(tmp_path):
     (d / "junk.pkl").touch()
     (d / "5.txt").touch()
     assert find_max_epoch(str(d)) == 20000
+
+
+def test_multirun_sweep_expansion():
+    """Hydra choice-sweep semantics: comma-listed values expand to the
+    cartesian product; brackets/quotes protect commas; later overrides
+    vary fastest (reference gets this free from @hydra.main, train.py:226)."""
+    from diffwave_sashimi_tpu.config import (extract_multirun_flag,
+                                             sweep_overrides)
+
+    args, mr = extract_multirun_flag(
+        ["-m", "model.d_model=32,64", "train.n_iters=1"])
+    assert mr and args == ["model.d_model=32,64", "train.n_iters=1"]
+    args2, mr2 = extract_multirun_flag(["model.d_model=32"])
+    assert not mr2 and args2 == ["model.d_model=32"]
+
+    jobs = sweep_overrides(["model.d_model=32,64", "diffusion.T=10,20"])
+    assert jobs == [
+        ["model.d_model=32", "diffusion.T=10"],
+        ["model.d_model=32", "diffusion.T=20"],
+        ["model.d_model=64", "diffusion.T=10"],
+        ["model.d_model=64", "diffusion.T=20"],
+    ]
+    # brackets protect commas: two pool choices, not four scalars
+    jobs = sweep_overrides(["model.pool=[2,2],[4,4]"])
+    assert jobs == [["model.pool=[2,2]"], ["model.pool=[4,4]"]]
+    # non-sweep args pass through untouched
+    assert sweep_overrides(["experiment=sc09"]) == [["experiment=sc09"]]
