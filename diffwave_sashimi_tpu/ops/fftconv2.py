@@ -210,6 +210,19 @@ def from_compact(xc: jnp.ndarray, lay: Layout, L: Optional[int] = None
     return x[..., :lay.L if L is None else L]
 
 
+# Opt-in int8 MXU mode for the EVAL fused conv (sampling path only): the
+# four DFT/iDFT stages run int8 x int8 -> int32 dots (v5e int8 MXU is 2x
+# bf16: 394 TOPS), with per-tensor static scales on the constant factor
+# matrices and a fresh dynamic per-stage scale on each activation.
+# Quality-gated opt-in (see scripts/int8_check.py + BASELINE.md); enable
+# per-process via set_int8 or per-call via the int8= kwarg.
+INT8 = {"enabled": False}
+
+
+def set_int8(enabled: bool) -> None:
+    INT8["enabled"] = bool(enabled)
+
+
 @functools.lru_cache(maxsize=32)
 def _consts(lay: Layout):
     """f32 numpy factor matrices for the layout (host constants)."""
@@ -264,6 +277,25 @@ def _consts(lay: Layout):
         EsPT=np.ascontiguousarray(EsP.T).astype(f32),
         AltPT=np.ascontiguousarray(AltP.T).astype(f32),
         mask=mask)
+
+
+_Q8_NAMES = ("Drr", "Dri", "DsP", "EsP", "Alt8", "AltP", "Err", "Eri")
+
+
+@functools.lru_cache(maxsize=32)
+def _consts_q8(lay: Layout):
+    """Per-tensor symmetric int8 quantization of the DFT factor matrices
+    (entries bounded by 1, so the scale is ~1/127 and the per-entry
+    error ~0.4% — the same order as one bf16 rounding).  The +-1/0
+    Alt/AltP matrices quantize exactly."""
+    c = _consts(lay)
+    q, scales = {}, {}
+    for name in _Q8_NAMES:
+        m = c[name]
+        s = float(np.max(np.abs(m))) / 127.0
+        q[name] = np.round(m / s).astype(np.int8)
+        scales[name] = np.float32(s)
+    return q, scales
 
 
 def kernel_spectrum(k_time: jnp.ndarray, lay: Layout,
@@ -385,16 +417,24 @@ def _gelu_fast(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(u_ref, kfr_ref, kfi_ref, d_ref, *rest,
-            lay: Layout, fast: bool, post: str, pre: bool = False):
+            lay: Layout, fast: bool, post: str, pre: bool = False,
+            qscale=None):
     """One (channel-group, batch) program; see module docstring for the
     stage algebra.  post: 'none' | 'gelu_d' (fused D-skip + erf GELU).
     pre=True adds a channel-LayerNorm + per-channel-bias prologue
     (scale a, shift c per position, bias per channel) so norm1 + the
     diffusion-step bias of the DiffWave block cost zero extra HBM passes.
 
+    qscale != None switches the four matmul stages to int8 MXU: the
+    factor-matrix refs arrive pre-quantized (``_consts_q8``) with their
+    static per-tensor scales in ``qscale``, and each stage input gets a
+    fresh dynamic symmetric scale (max|t|/127) before an
+    int8 x int8 -> int32 dot.  Twiddles/kernel-multiply/epilogue stay on
+    the bf16 VPU path.
+
     Every inter-stage view is a reshape of sublane-side dims (free); the
-    only VPU work is twiddles, the kernel multiply, masking, and the
-    optional pro/epilogue.
+    only VPU work is twiddles, the kernel multiply, masking, the
+    optional pro/epilogue, and (int8 mode) the per-stage quantizes.
     """
     if pre:
         a_ref, c_ref, bias_ref = rest[:3]
@@ -416,6 +456,18 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref, *rest,
         o = jnp.dot(a.astype(tmp), b.astype(tmp),
                     preferred_element_type=f32, precision=prec)
         return o.astype(tmp)
+
+    def q8(t):
+        """Dynamic symmetric per-tensor int8 quantization of a stage
+        input; the zero-guard keeps an all-zero tile finite."""
+        t32 = t.astype(f32)
+        s = jnp.maximum(jnp.max(jnp.abs(t32)),
+                        np.float32(1e-20)) * np.float32(1.0 / 127.0)
+        return jnp.round(t32 * (np.float32(1.0) / s)).astype(jnp.int8), s
+
+    def mm8(qa, b, scale):
+        o = jnp.dot(qa, b, preferred_element_type=jnp.int32)
+        return (o.astype(f32) * scale).astype(tmp)
 
     mask = mask_ref[:, :].astype(tmp)                     # (S, Rc)
     Q2 = S // 2
@@ -463,8 +515,13 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref, *rest,
             xm = x.reshape(S * HB, Rc)
 
         # S1: contract t1 lanes
-        Ar = chan3(mm(xm, drr[:, :]))
-        Ai = chan3(mm(xm, dri[:, :]))
+        if qscale is None:
+            Ar = chan3(mm(xm, drr[:, :]))
+            Ai = chan3(mm(xm, dri[:, :]))
+        else:
+            qx, sx = q8(xm)                 # one quantize feeds both dots
+            Ar = chan3(mm8(qx, drr[:, :], sx * qscale["Drr"]))
+            Ai = chan3(mm8(qx, dri[:, :], sx * qscale["Dri"]))
         # twiddle (S, 1, R) broadcast over channels
         Br = (Ar * tr - Ai * ti).reshape(S, HB * R)
         Bi = (Ar * ti + Ai * tr).reshape(S, HB * R)
@@ -472,8 +529,13 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref, *rest,
         # S2 packed: [Xr; Xi] = DsP @ [Br; Bi], one full-tile matmul
         # (see _consts: Q2-row blocks tile exactly; Nyquist via Alt8)
         BrBi = jnp.concatenate([Br, Bi], axis=0)          # (2S, N)
-        Xp = mm(dsp[:, :], BrBi)                          # (2*Q2, N)
-        Xnyq = mm(alt8[:, :], Br)                         # (8, N), row 0
+        if qscale is None:
+            Xp = mm(dsp[:, :], BrBi)                      # (2*Q2, N)
+            Xnyq = mm(alt8[:, :], Br)                     # (8, N), row 0
+        else:
+            qB, sB = q8(BrBi)               # rows [:S] are quantized Br
+            Xp = mm8(dsp[:, :], qB, sB * qscale["DsP"])
+            Xnyq = mm8(alt8[:, :], qB[:S], sB * qscale["Alt8"])
 
         # kernel multiply (c-scale folded into kf at build time)
         Xr, Xi = Xp[:Q2], Xp[Q2:]
@@ -482,14 +544,26 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref, *rest,
         Ynyq = Xnyq * Kn                                  # (8, N), row 0
 
         # iA packed: [Zr; Zi] = EsP @ Yp + AltP @ Ynyq
-        Zp = mm(esp[:, :], Yp) + mm(altp[:, :], Ynyq)     # (2S, N)
+        if qscale is None:
+            Zp = mm(esp[:, :], Yp) + mm(altp[:, :], Ynyq)  # (2S, N)
+        else:
+            qY, sY = q8(Yp)
+            qYn, sYn = q8(Ynyq)
+            Zp = (mm8(esp[:, :], qY, sY * qscale["EsP"])
+                  + mm8(altp[:, :], qYn, sYn * qscale["AltP"]))
         Zr = chan3(Zp[:S])
         Zi = chan3(Zp[S:])
         Tr = (Zr * tmr - Zi * tmi).reshape(S * HB, R)
         Ti = (Zr * tmi + Zi * tmr).reshape(S * HB, R)
 
         # iB: contract kr lanes, Re part, emit only t1 < Rc
-        y = mm(Tr, err[:, :]) - mm(Ti, eri[:, :])         # (S*HB, Rc)
+        if qscale is None:
+            y = mm(Tr, err[:, :]) - mm(Ti, eri[:, :])     # (S*HB, Rc)
+        else:
+            qTr, sTr = q8(Tr)
+            qTi, sTi = q8(Ti)
+            y = (mm8(qTr, err[:, :], sTr * qscale["Err"])
+                 - mm8(qTi, eri[:, :], sTi * qscale["Eri"]))
         if HB == 1:
             if post == "gelu_d":
                 y = y + d_ref[0] * x                      # + D * u skip
@@ -507,10 +581,12 @@ def _kernel(u_ref, kfr_ref, kfi_ref, d_ref, *rest,
 def _conv2_impl(u: jnp.ndarray, kfr: jnp.ndarray, kfi: jnp.ndarray,
                 d: Optional[jnp.ndarray],
                 lay: Layout, fast: bool, post: str,
-                out_dtype=None, prologue=None) -> jnp.ndarray:
+                out_dtype=None, prologue=None,
+                int8: bool = False) -> jnp.ndarray:
     """u: (B, S, H, Rc); kf*: (G, Q, HB, R); d: (G, HB, 1) or None.
     prologue: optional (a, c, bias) with a, c (B, S, Rc) f32 position
-    scale/shift and bias (B, H) f32 per-channel add (see _kernel pre)."""
+    scale/shift and bias (B, H) f32 per-channel add (see _kernel pre).
+    int8: run the DFT matmul stages on the int8 MXU (see _kernel qscale)."""
     S, R, Rc, HB, Q = lay.S, lay.R, lay.Rc, lay.HB, lay.Q
     B, _, H, _ = u.shape
     assert u.shape[1] == S and u.shape[3] == Rc, (u.shape, lay)
@@ -527,6 +603,10 @@ def _conv2_impl(u: jnp.ndarray, kfr: jnp.ndarray, kfi: jnp.ndarray,
     u5 = u.reshape(B, S, G, HB, Rc)
     const_names = ["Drr", "Dri", "twr", "twi", "DsP", "EsP", "Alt8", "AltP",
                    "twmr", "twmi", "Err", "Eri", "mask"]
+    qscale = None
+    if int8:
+        cq, qscale = _consts_q8(lay)
+        c = dict(c, **cq)
     const_arrays = [jnp.asarray(c[k]) for k in const_names]
     const_specs = [
         pl.BlockSpec(a.shape, lambda g, b: (0,) * a.ndim,
@@ -555,7 +635,7 @@ def _conv2_impl(u: jnp.ndarray, kfr: jnp.ndarray, kfi: jnp.ndarray,
                     + 4 * S * Q * R + 2 * S * R * Rc) * HB
     out = pl.pallas_call(
         functools.partial(_kernel, lay=lay, fast=fast, post=post,
-                          pre=prologue is not None),
+                          pre=prologue is not None, qscale=qscale),
         grid=(G, B // BB),
         in_specs=[
             pl.BlockSpec((BB, S, 1, HB, Rc), lambda g, b: (b, 0, g, 0, 0),
@@ -751,13 +831,17 @@ def fftconv2_dkf(u: jnp.ndarray, g: jnp.ndarray, lay: Layout,
     return dkr, dki
 
 
-def fftconv2_gelu_d(u, kfr, kfi, d, lay: Layout, fast: bool = True):
+def fftconv2_gelu_d(u, kfr, kfi, d, lay: Layout, fast: bool = True,
+                    int8: Optional[bool] = None):
     """Sampling fast path: conv + D*u skip + exact GELU fused in-kernel.
 
     GELU uses the A&S 7.1.26 erf (|err| < 1.5e-7: the TPU Pallas lowering
     has no erf primitive).  Not differentiable (no VJP) — the training path
     uses :func:`fftconv2` with the epilogue in XLA.
+    ``int8`` None defers to the module :data:`INT8` toggle.
     """
+    if int8 is None:
+        int8 = INT8["enabled"]
     if _interpret():
         y = conv2_ref(u, kfr, kfi, lay)
         c = _consts(lay)
@@ -767,11 +851,12 @@ def fftconv2_gelu_d(u, kfr, kfi, d, lay: Layout, fast: bool = True):
                 * m).astype(u.dtype)
     return _conv2_impl(u, kfr, kfi, d.reshape(d.shape[0] // lay.HB,
                                               lay.HB, 1),
-                       lay, fast, "gelu_d")
+                       lay, fast, "gelu_d", int8=int8)
 
 
 def fftconv2_ln_bias_gelu_d(u, a, c, bias, kfr, kfi, d, lay: Layout,
-                            fast: bool = True):
+                            fast: bool = True,
+                            int8: Optional[bool] = None):
     """Sampling fast path with the DiffWave block HEAD folded in too:
     channel LayerNorm (as position scale/shift a, c — stats are a cheap
     XLA reduction) + diffusion-step bias + conv + D*u + exact GELU, one
@@ -779,7 +864,10 @@ def fftconv2_ln_bias_gelu_d(u, a, c, bias, kfr, kfi, d, lay: Layout,
     models/s4.py:1403-1427 conv path).  Eval-only (no VJP).
 
     u: (B, S, H, Rc) RAW block input; a, c: (B, S, Rc) f32; bias: (B, H).
+    ``int8`` None defers to the module :data:`INT8` toggle.
     """
+    if int8 is None:
+        int8 = INT8["enabled"]
     if _interpret():
         m = _consts(lay)["mask"][None, :, None, :]
         xn = (u.astype(jnp.float32) * a[:, :, None, :].astype(jnp.float32)
@@ -791,4 +879,5 @@ def fftconv2_ln_bias_gelu_d(u, a, c, bias, kfr, kfi, d, lay: Layout,
                 * m).astype(u.dtype)
     return _conv2_impl(u, kfr, kfi, d.reshape(d.shape[0] // lay.HB,
                                               lay.HB, 1),
-                       lay, fast, "gelu_d", prologue=(a, c, bias))
+                       lay, fast, "gelu_d", prologue=(a, c, bias),
+                       int8=int8)
