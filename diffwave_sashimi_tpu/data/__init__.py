@@ -6,6 +6,7 @@ the Python side, a native multithreaded batch decoder replacing worker
 processes, and replica sharding expressed directly instead of through
 torch's DistributedSampler."""
 
+from .autodetect import detect as detect_dataset
 from .loader import DataLoader, dataloader
 from .mel2samp import Mel2Samp, load_mel_file
 from .sc09 import SpeechCommands
@@ -14,7 +15,8 @@ from .stft import (TacotronSTFT, griffin_lim, istft, mel_filterbank,
 from .wav import MAX_WAV_VALUE, load_wav_float, load_wav_raw, save_wav
 
 __all__ = [
-    "DataLoader", "dataloader", "Mel2Samp", "load_mel_file",
+    "DataLoader", "dataloader", "detect_dataset", "Mel2Samp",
+    "load_mel_file",
     "SpeechCommands", "TacotronSTFT", "griffin_lim", "istft",
     "mel_filterbank", "stft_complex", "stft_magnitude",
     "MAX_WAV_VALUE", "load_wav_float", "load_wav_raw", "save_wav",

@@ -59,8 +59,10 @@ def main():
         for bb in (1, 2, 4):
             if B % bb:
                 continue
-            fn = jax.jit(lambda *a, _bb=bb: chmix.ln_ff_res(
-                *a, fast=True, emit_stats=True, bb=_bb))
+            fn = jax.jit(lambda x_, m_, s_, w1_, b1_, w2_, b2_, sk_, _bb=bb:
+                         chmix.ln_ff_res(x_, m_, s_, w1_, b1_, w2_, b2_,
+                                         fast=True, emit_stats=True,
+                                         bb=_bb, skip=sk_))
             try:
                 out = fn(x, m, s, w1, b1, w2, b2, skip)
             except Exception as e:

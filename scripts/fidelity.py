@@ -62,6 +62,14 @@ def main(argv=None):
 
     data = args.data
     if data is None:
+        # zero-code-change upgrade: use real LJSpeech the moment it
+        # exists anywhere conventional (data/autodetect.py)
+        from diffwave_sashimi_tpu.data import detect_dataset
+        data = detect_dataset("ljspeech")
+        if data:
+            print(f"[fidelity] auto-detected real LJSpeech at {data}",
+                  flush=True)
+    if data is None:
         data = "fidelity_data"
         synth_corpus(data, L=args.segment)
 

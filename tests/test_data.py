@@ -244,3 +244,32 @@ def test_audio_metrics():
     m_vn = compare(a, very_noisy, sr)
     assert m_vn["snr_db"] < m_noisy["snr_db"]
     assert m_vn["log_mel_l2"] > m_noisy["log_mel_l2"]
+
+
+def test_dataset_autodetect(tmp_path, monkeypatch):
+    """data.detect_dataset finds real corpora by location + filename
+    signature (min-file threshold rules out placeholder dirs) and is
+    driven by DWST_DATA_ROOT first; absent datasets return None."""
+    from diffwave_sashimi_tpu.data import detect_dataset
+
+    monkeypatch.setenv("DWST_DATA_ROOT", str(tmp_path))
+    assert detect_dataset("sc09") is None
+    assert detect_dataset("ljspeech") is None
+
+    sc = tmp_path / "sc09"
+    sc.mkdir()
+    for i in range(8):
+        (sc / f"zero_nohash_{i}.wav").write_bytes(b"RIFF")
+    assert detect_dataset("sc09") == str(sc)
+    # signature mismatch (no _nohash_) does not count
+    lj = tmp_path / "LJSpeech-1.1" / "wavs"
+    lj.mkdir(parents=True)
+    for i in range(7):
+        (lj / f"LJ001-{i:04d}.wav").write_bytes(b"RIFF")
+    assert detect_dataset("ljspeech") is None  # below min_files=8
+    (lj / "LJ001-0007.wav").write_bytes(b"RIFF")
+    assert detect_dataset("ljspeech") == str(lj)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        detect_dataset("nope")
