@@ -270,6 +270,11 @@ def main(argv=None):
     from ..ops import fftconv_pallas
     if cfg.get_path("compute.precision", "bf16") in ("f32", "float32"):
         fftconv_pallas.set_fast(False)
+    # opt-in int8 MXU conv stages (+compute.conv_int8=true): quality gate
+    # and the measured (negative-on-v5e) timing are in BASELINE.md
+    if cfg.get_path("compute.conv_int8", False):
+        from ..ops import fftconv2
+        fftconv2.set_int8(True)
     print(cfg.to_yaml())
     gen_cfg = dict(cfg.generate)
     generate(cfg.diffusion, cfg.model, cfg.dataset,
