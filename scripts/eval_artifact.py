@@ -112,7 +112,7 @@ def main():
         "fid_real_vs_real_split": round(float(fid_split), 4),
         "fid_real_vs_noise": round(float(fid_noise), 4),
         "sampler": {
-            "model": "wavenet res24 d4 (300 iters, CPU)",
+            "model": f"wavenet res24 d4 ({args.iters} iters, CPU)",
             "fid": result["fid"],
             "is": result["is"],
             "n_generated": result["n_generated"],
