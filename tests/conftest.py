@@ -32,6 +32,30 @@ def pytest_collection_modifyitems(config, items):
 
 
 @pytest.fixture(scope="session")
+def sashimi_small():
+    """One shared tiny SaShiMi (d8/n1/pool44/L16000) with jitted init.
+
+    Session-scoped ON PURPOSE: each standalone compile of the block-scan
+    init program has segfaulted XLA:CPU when issued late in the full
+    suite (first the eager path, 2026-08-18; then a second jitted copy in
+    test_sashimi_parity, 2026-08-19) — sharing ONE compile across every
+    consumer keeps the suite to a single instance of that program.  The
+    jit itself also matches how the library always runs init (CLAUDE.md
+    fact 4)."""
+    import jax.numpy as jnp
+    from diffwave_sashimi_tpu.models.sashimi import Sashimi
+
+    # smallest config whose tiers all satisfy the fixed-R layout compat
+    # (deepest tier L/16 = 1000 -> n = 2048, R = 256)
+    model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), expand=2, ff=2,
+                    L=16000)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 1, 16000), jnp.float32),
+                                 jnp.zeros((1,), jnp.int32))
+    return model, params
+
+
+@pytest.fixture(scope="session")
 def torch_ref():
     """Import the reference torch implementation, patched to run on CPU.
 

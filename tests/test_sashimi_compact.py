@@ -14,19 +14,11 @@ from diffwave_sashimi_tpu.models.sashimi import Sashimi
 
 
 @pytest.fixture(scope="module")
-def model_and_params():
-    # smallest config whose tiers all satisfy the fixed-R layout compat
-    # (deepest tier L/16 = 1000 -> n = 2048, R = 256)
-    model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), expand=2, ff=2,
-                    L=16000)
-    # jit the init: eager init compiles the block-scan primitive standalone,
-    # which segfaulted XLA:CPU when run late in the full suite (2026-08-18,
-    # reproducible at this fixture twice); the jitted whole-program compile
-    # is also what the library itself always uses (CLAUDE.md fact 4)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                 jnp.zeros((1, 1, 16000), jnp.float32),
-                                 jnp.zeros((1,), jnp.int32))
-    return model, params
+def model_and_params(sashimi_small):
+    # shared session fixture: ONE jitted block-scan init compile for the
+    # whole suite (a second standalone copy segfaults XLA:CPU late in the
+    # run — see conftest.sashimi_small)
+    return sashimi_small
 
 
 def test_v2_compatible_gate(model_and_params):

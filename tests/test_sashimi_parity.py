@@ -109,16 +109,12 @@ def test_sashimi_nonpow2_length_parity(torch_ref):
     np.testing.assert_allclose(y_k, y_ref, atol=1e-3, rtol=1e-2)
 
 
-def test_sashimi_precomputed_kernels_match():
-    L = 256
-    model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), L=L)
-    # jitted init: the eager path compiles the block-scan primitive
-    # standalone, which segfaults XLA:CPU when run late in a suite
-    # (same workaround as test_sashimi_compact's fixture; the library
-    # itself always jits init, CLAUDE.md fact 4)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                 jnp.zeros((1, 1, L)),
-                                 jnp.zeros((1,), jnp.int32))
+def test_sashimi_precomputed_kernels_match(sashimi_small):
+    # shared session fixture: compiling a SECOND standalone block-scan
+    # init program late in the suite segfaults XLA:CPU (eager and jitted
+    # alike) — reuse the one compile from conftest.sashimi_small
+    model, params = sashimi_small
+    L = model.L
     kernels = model.apply(params, L, method=Sashimi.compute_kernels)
     # n_layers=1, pool=(4,4), unet: d0, d1, c, u0, u1 -> 5 block kernels
     assert len(kernels) == 5
