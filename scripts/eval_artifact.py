@@ -31,7 +31,11 @@ import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    from diffwave_sashimi_tpu.utils import enable_compile_cache
+    enable_compile_cache()
 
 ASSETS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "eval_assets")
@@ -41,7 +45,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--workdir", default="/tmp/eval_artifact_ws")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run the sampler train/generate on the TPU "
+                         "(classifier + FID stay CPU); enables 10-50x "
+                         "more training iters per wall-hour")
     args = ap.parse_args()
     t0 = time.time()
 
@@ -55,23 +64,33 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     os.chdir(args.workdir)
 
+    # with --tpu only the sampler train/generate runs on the device; the
+    # classifier + FID legs stay on the host CPU (tiny model, and the
+    # numbers must stay comparable with the CPU-built artifact)
+    import contextlib
+    cpu_leg = (jax.default_device(jax.devices("cpu")[0]) if args.tpu
+               else contextlib.nullcontext())
+
     corpus = synth_sc09_corpus(os.path.join(args.workdir, "corpus"))
     ckpt = os.path.join(ASSETS, "classifier_synth.pkl")
-    r = clf.train_classifier(corpus, ckpt, epochs=args.epochs, batch=24)
-    print(f"[artifact] classifier acc {r.get('acc'):.3f} "
-          f"loss {r.get('loss'):.4f}", flush=True)
+    with cpu_leg:
+        r = clf.train_classifier(corpus, ckpt, epochs=args.epochs, batch=24)
+        print(f"[artifact] classifier acc {r.get('acc'):.3f} "
+              f"loss {r.get('loss'):.4f}", flush=True)
 
-    # ---- falsifiability bracket -------------------------------------
-    params, _ = clf.load_classifier(ckpt)
-    real = _load_dir(corpus, 72, seed=0)
-    a, b = real[0::2], real[1::2]
-    _, fa = clf.extract(params, a)
-    _, fb = clf.extract(params, b)
-    fid_split = frechet_distance(*gaussian_stats(fa), *gaussian_stats(fb))
-    noise = np.random.RandomState(1).randn(36, real.shape[1]) \
-        .astype(np.float32) * 0.1
-    _, fn = clf.extract(params, noise)
-    fid_noise = frechet_distance(*gaussian_stats(fa), *gaussian_stats(fn))
+        # ---- falsifiability bracket ---------------------------------
+        params, _ = clf.load_classifier(ckpt)
+        real = _load_dir(corpus, 72, seed=0)
+        a, b = real[0::2], real[1::2]
+        _, fa = clf.extract(params, a)
+        _, fb = clf.extract(params, b)
+        fid_split = frechet_distance(*gaussian_stats(fa),
+                                     *gaussian_stats(fb))
+        noise = np.random.RandomState(1).randn(36, real.shape[1]) \
+            .astype(np.float32) * 0.1
+        _, fn = clf.extract(params, noise)
+        fid_noise = frechet_distance(*gaussian_stats(fa),
+                                     *gaussian_stats(fn))
     print(f"[artifact] FID real-vs-real {fid_split:.3f}, "
           f"real-vs-noise {fid_noise:.3f}", flush=True)
 
@@ -86,7 +105,8 @@ def main():
         f"dataset.data_path={corpus}", "dataset.segment_length=16000",
         f"train.n_iters={args.iters}",
         f"train.iters_per_ckpt={args.iters}",
-        "train.iters_per_logging=100", "train.batch_size_per_gpu=4",
+        "train.iters_per_logging=100",
+        f"train.batch_size_per_gpu={args.batch}",
         "generate.n_samples=0",
     ]
     cfg = load_config(overrides=overrides)
@@ -100,7 +120,8 @@ def main():
     from diffwave_sashimi_tpu.utils.exp import local_directory
     _, gen_dir = local_directory(name, cfg.model, cfg.diffusion,
                                  cfg.dataset, "waveforms")
-    result = score(corpus, gen_dir, ckpt, n=72)
+    with cpu_leg:
+        result = score(corpus, gen_dir, ckpt, n=72)
     print(f"[artifact] sampler FID {result['fid']} IS {result['is']}",
           flush=True)
 
@@ -112,7 +133,8 @@ def main():
         "fid_real_vs_real_split": round(float(fid_split), 4),
         "fid_real_vs_noise": round(float(fid_noise), 4),
         "sampler": {
-            "model": f"wavenet res24 d4 ({args.iters} iters, CPU)",
+            "model": (f"wavenet res24 d4 ({args.iters} iters, "
+                      f"{'TPU' if args.tpu else 'CPU'})"),
             "fid": result["fid"],
             "is": result["is"],
             "n_generated": result["n_generated"],
