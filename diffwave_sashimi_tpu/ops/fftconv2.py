@@ -149,16 +149,24 @@ def choose_layout(L: int, n: int, H: int, R: Optional[int] = None,
     def frame(hb: int, bb: int) -> int:
         return _frame_bytes(S, R, Rc, Q, hb, itm, bb)
 
-    if HB is None and BB is None and S >= 16 and H % 8 == 0 \
+    if HB is None and BB is None and H % 16 == 0 and 16 * S <= 2048 \
+            and frame(16, 2) <= _FRAME_BUDGET:
+        # Forced sweep past the frame-budget heuristic (conv_interleave_
+        # sweep.py on v5e 2026-08-19, B=16 gelu_d, within one run): the
+        # deeper HB16/BB2 interleave wins where its frame fits — tier2
+        # (S=32) 0.875 ms vs 0.995 at HB8/BB2, tier3 (S=8) 0.669 vs
+        # 0.731 at the old HB32/BB1 growth pick.  Tier1 (S=128) exceeds
+        # the budget at HB16 (and Mosaic crashed compiling it when
+        # forced) so it keeps HB8/BB2 below.
+        HB, BB = 16, 2
+    elif HB is None and BB is None and S >= 16 and H % 8 == 0 \
             and frame(8, 2) <= _FRAME_BUDGET:
         # Measured sweet spot on v5e (/tmp/bbhb_sweep.log 2026-08-17,
         # B=16 gelu_d): TWO independent batch chains at HB=8 let Mosaic
         # overlap one chain's VPU stages (twiddles, kernel multiply,
         # GELU) with the other's MXU time — tier1 (S=128) 1.60 ms vs
         # 1.91 at the old HB16/BB1 pick, tier2 (S=32) 0.48 vs 0.77 at
-        # HB32/BB1.  Small-S tiers (S=8) are launch-bound and prefer one
-        # wide chain (tier3 HB32/BB1 0.16 ms vs 0.25 best interleaved),
-        # handled by the growth rule below.
+        # HB32/BB1.
         HB, BB = 8, 2
     if BB is None:
         BB = 1
