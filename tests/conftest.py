@@ -20,15 +20,44 @@ import pytest  # noqa: E402
 REFERENCE_DIR = "/root/reference"
 
 
+# Modules that compile whole-model init/apply programs.  XLA:CPU has
+# repeatedly segfaulted (2026-08-18/19, three distinct tests) when one of
+# these large compiles is issued LATE in the suite — the same programs pass
+# when compiled early in a fresh process.  Run them first.
+_COMPILE_HEAVY_FIRST = (
+    "test_sashimi_parity",
+    "test_sashimi_compact",
+    "test_conditioning",
+    "test_dropout",
+    "test_kernel_freq",
+    "test_train_dynamics",
+    "test_parallel",
+    "test_ljspeech_harder",
+    "test_mode_matrix",
+    "test_vocoder_e2e",
+)
+
+
 def pytest_collection_modifyitems(config, items):
     """Auto-mark every torch-oracle test ``slow``: importing + running the
     reference torch model dominates suite time on this 1-core box.  Heavy
     non-oracle modules (multi-device training, end-to-end pipelines) carry
     an explicit module-level ``pytestmark`` instead.  Fast lane:
-    ``pytest -m 'not slow'`` (<10 min); full lane: plain ``pytest``."""
+    ``pytest -m 'not slow'`` (<10 min); full lane: plain ``pytest``.
+
+    Also front-load the compile-heavy modules (see _COMPILE_HEAVY_FIRST)."""
     for item in items:
         if "torch_ref" in getattr(item, "fixturenames", ()):
             item.add_marker(pytest.mark.slow)
+
+    def rank(item):
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        try:
+            return _COMPILE_HEAVY_FIRST.index(mod)
+        except ValueError:
+            return len(_COMPILE_HEAVY_FIRST)
+
+    items.sort(key=rank)  # stable: preserves in-module order
 
 
 @pytest.fixture(scope="session")

@@ -144,8 +144,10 @@ def test_block_scan_equivalent_to_unrolled():
     L, n_layers = 256, 2
     un = Sashimi(d_model=8, n_layers=n_layers, pool=(4, 4), L=L,
                  block_scan=False)
-    params = un.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, L)),
-                     jnp.zeros((1,), jnp.int32))
+    # jitted: ONE compile unit instead of dozens of eager per-op compiles
+    # (each an XLA:CPU segfault opportunity late in the suite)
+    params = jax.jit(un.init)(jax.random.PRNGKey(0), jnp.zeros((1, 1, L)),
+                              jnp.zeros((1,), jnp.int32))
     audio = jax.random.normal(jax.random.PRNGKey(1), (2, 1, L))
     steps = jnp.array([3, 9])
     y_un = un.apply(params, audio, steps)
