@@ -60,6 +60,38 @@ def pytest_collection_modifyitems(config, items):
     items.sort(key=rank)  # stable: preserves in-module order
 
 
+def _n_maps() -> int:
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _xla_cpu_map_guard(request):
+    """Keep the process under vm.max_map_count (default 65530).
+
+    Every XLA:CPU compiled executable mmaps JIT code regions; a suite of
+    hundreds of compiles accumulates tens of thousands of maps, and once
+    the kernel refuses new mappings the NEXT compile segfaults inside
+    backend_compile_and_load (observed repeatedly as the 'late-suite
+    XLA:CPU segfault', 2026-08-18/19 — the victim test moves with
+    collection order).  Dropping the jit caches releases executables and
+    their mappings before the cliff.
+    """
+    yield
+    n = _n_maps()
+    log = os.environ.get("MAP_GUARD_LOG")
+    if log:
+        with open(log, "a") as f:
+            f.write(f"{n}\t{request.node.nodeid}\n")
+    if n > 52000:
+        jax.clear_caches()
+        import gc
+        gc.collect()
+
+
 @pytest.fixture(scope="session")
 def sashimi_small():
     """One shared tiny SaShiMi (d8/n1/pool44/L16000) with jitted init.
