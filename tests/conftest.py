@@ -15,6 +15,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the suite is compile-dominated on this
+# 1-core box (fast lane ~34 min cold), and the cache key includes the
+# platform, so sharing the package .jax_cache dir with the TPU path is
+# safe.  Only compiles >1 s are persisted (the helper's threshold), which
+# is exactly the population that dominates suite time.  Cached loads
+# still mmap JIT regions, so the map guard below stays necessary.
+from diffwave_sashimi_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"
