@@ -138,6 +138,32 @@ def main():
     err = np.abs(AL_np - AL_ref).max() / max(np.abs(AL_ref).max(), 1e-12)
     check("init matrix_power dA^16000 vs f64", err, 1e-3)
 
+    # 6. Opt-in int8 MXU conv stages, COMPILED path (the interpret-mode
+    # pin lives in test_fftconv2.py::test_conv2_int8_interpret; this line
+    # keeps the compiled TPU path from silently rotting — it is default-off
+    # and otherwise only exercised by manual scripts/int8_check.py runs).
+    from diffwave_sashimi_tpu.ops import fftconv2 as f2
+    from scipy.special import erf as _erf
+    Li, ni, Hi, Bi = 1000, 2048, 16, 2
+    lay = f2.choose_layout(Li, ni, Hi)
+    u8 = rng.randn(Bi, Hi, Li).astype(np.float32)
+    k8 = (rng.randn(Hi, ni) * 0.3).astype(np.float32)
+    y8_ref = np.fft.irfft(np.fft.rfft(u8, n=ni) * np.fft.rfft(k8, n=ni),
+                          n=ni)[..., :Li]
+    y8_ref = y8_ref * 0.5 * (1 + _erf(y8_ref / np.sqrt(2)))   # exact GELU
+    kfr, kfi = f2.kernel_spectrum(jnp.asarray(k8), lay)
+    uc = f2.to_compact(jnp.asarray(u8), lay)
+    d0 = jnp.zeros((Hi,), jnp.float32)
+    f2.set_int8(True)
+    try:
+        yc = jax.jit(lambda a, b, c: f2.fftconv2_gelu_d(a, b, c, d0, lay))(
+            uc, kfr, kfi)
+        y8 = f2.from_compact(yc, lay, Li)
+        check("int8 conv stages (compiled) vs f64 oracle",
+              dev_rel_err(y8, y8_ref), 3e-2)
+    finally:
+        f2.set_int8(False)
+
     if FAILURES:
         print(f"FAILED: {FAILURES}", flush=True)
         sys.exit(1)

@@ -53,7 +53,8 @@ def pytest_collection_modifyitems(config, items):
     reference torch model dominates suite time on this 1-core box.  Heavy
     non-oracle modules (multi-device training, end-to-end pipelines) carry
     an explicit module-level ``pytestmark`` instead.  Fast lane:
-    ``pytest -m 'not slow'`` (<10 min); full lane: plain ``pytest``.
+    ``pytest -m 'not slow'`` (~34 min measured cold on this 1-core box);
+    full lane: plain ``pytest`` (~44 min measured).
 
     Also front-load the compile-heavy modules (see _COMPILE_HEAVY_FIRST)."""
     for item in items:
