@@ -596,21 +596,47 @@ class Sashimi(nn.Module):
         """
         if self.block_scan:
             # raw vmap over each stage's stacked params (no flax lifting:
-            # the bound scan modules own the params; we read them directly)
+            # the bound scan modules own the params; we read them directly).
+            # Same-(H, L) stages (d0+u1, d1+u0 in the default UNet) merge
+            # into ONE wide vmap: the construction cost is dominated by
+            # many small latency/HBM-bound ops (BASELINE.md round-4), so
+            # fewer, wider programs — 5 stages -> 3 at the flagship point —
+            # attack exactly that.  Identical math: the per-block chain is
+            # elementwise in the vmap axis.
             method = {False: DiffWaveBlock.compute_kernel,
                       True: DiffWaveBlock.compute_kernel_freq,
                       "fact": DiffWaveBlock.compute_kernel_fact,
                       "v2": DiffWaveBlock.compute_kernel_v2}[freq]
             all_params = self.variables["params"]
             kernels: Dict[str, jnp.ndarray] = {}
+            groups: Dict[tuple, list] = {}
             for name, H, Lt, Lg in self._scan_stage_info(audio_length):
+                groups.setdefault((H, Lt, Lg), []).append(name)
+            for (H, Lt, Lg), names in groups.items():
                 tmpl = self._block_template(H, Lt)
-                stacked = all_params[name]["block"]
 
                 def one(p, tmpl=tmpl, Lg=Lg):
                     return tmpl.apply({"params": p}, Lg, method=method)
 
-                kernels[name] = jax.vmap(one)(stacked)
+                stacks = [all_params[n]["block"] for n in names]
+                merged = None
+                if len(stacks) > 1:
+                    try:  # requires identical param-tree structure
+                        merged = jax.tree.map(
+                            lambda *xs: jnp.concatenate(xs, axis=0), *stacks)
+                    except (ValueError, TypeError):
+                        merged = None
+                if merged is None and len(stacks) > 1:
+                    for n, s in zip(names, stacks):
+                        kernels[n] = jax.vmap(one)(s)
+                    continue
+                out = jax.vmap(one)(stacks[0] if merged is None else merged)
+                off = 0
+                for n, s in zip(names, stacks):
+                    sz = jax.tree.leaves(s)[0].shape[0]
+                    kernels[n] = jax.tree.map(
+                        lambda x, o=off, z=sz: x[o:o + z], out)
+                    off += sz
             return kernels
 
         d_L, c_L, u_L = self._stage_lengths(audio_length)

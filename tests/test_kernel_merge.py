@@ -1,0 +1,42 @@
+"""The same-(H, L) stage-merge inside ``Sashimi.compute_kernels`` (round 5:
+one wide vmap for d0+u1 / d1+u0 instead of five separate construction
+programs) must be EXACTLY the per-stage construction — the merge is a
+scheduling change, not a math change."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffwave_sashimi_tpu.models.sashimi import DiffWaveBlock, Sashimi
+
+L = 4096
+
+
+def test_merged_construction_matches_per_stage():
+    model = Sashimi(d_model=16, n_layers=2, pool=(4, 4), expand=2, ff=2,
+                    L=L)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, L)),
+                        jnp.zeros((1,), jnp.int32))
+    bound = model.bind(params)
+    ap = params["params"]
+
+    # the merge must actually engage at the UNet point (d0+u1, d1+u0
+    # share (H, L) and identical param-tree structure)
+    stacks = [ap[n]["block"] for n in ("d0_blocks", "u1_blocks")]
+    assert (jax.tree.structure(stacks[0]) == jax.tree.structure(stacks[1]))
+
+    for freq in (False, "v2", "fact"):
+        new = model.apply(params, L, freq, method=Sashimi.compute_kernels)
+        method = {False: DiffWaveBlock.compute_kernel,
+                  "fact": DiffWaveBlock.compute_kernel_fact,
+                  "v2": DiffWaveBlock.compute_kernel_v2}[freq]
+        for name, H, Lt, Lg in bound._scan_stage_info(L):
+            tmpl = bound._block_template(H, Lt)
+
+            def one(p, tmpl=tmpl, Lg=Lg):
+                return tmpl.apply({"params": p}, Lg, method=method)
+
+            ref = jax.vmap(one)(ap[name]["block"])
+            for a, b in zip(jax.tree.leaves(new[name]),
+                            jax.tree.leaves(ref)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
