@@ -141,6 +141,41 @@ class TorchLinear(nn.Module):
         return y.astype(self.dtype)
 
 
+# Dilated conv as k shifted channel matmuls. On TPU, XLA lowers NCH
+# conv_general_dilated with rhs_dilation through a generic conv path whose
+# layout/window handling leaves the MXU badly underfed (WaveNet's measured
+# sampling step sat 2.6x above its own MXU floor, BASELINE.md round 3);
+# k explicit pad+slice+einsum contractions hit the plain batched-matmul
+# path instead.  None = auto (on for TPU, off for CPU where the native
+# conv wins); scripts/wavenet_bench.py A/Bs the toggle.
+SHIFT_MM = {"enabled": None}
+
+
+def set_shift_mm(enabled) -> None:
+    SHIFT_MM["enabled"] = enabled
+
+
+def _conv1d_shift_mm(x: jnp.ndarray, w: jnp.ndarray, dilation: int,
+                     pad: int) -> jnp.ndarray:
+    """y[:, o, t] = sum_{j} W[o, :, j] . x[:, :, t + j*d - pad] (zero-pad).
+
+    Same math as the NCH conv_general_dilated call below (torch Conv1d
+    'same'-style padding, ref models/wavenet.py:16-26); each tap is one
+    MXU contraction over channels at a static lane offset, with the f32
+    accumulate + downcast pattern of the k==1 branch.
+    """
+    k = w.shape[-1]
+    L = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad))) if pad else x
+    y = None
+    for j in range(k):
+        term = jnp.einsum("bcl,oc->bol", xp[:, :, j * dilation:
+                                            j * dilation + L],
+                          w[:, :, j], preferred_element_type=jnp.float32)
+        y = term if y is None else y + term
+    return y.astype(x.dtype)
+
+
 def conv1d_ncl(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
                stride: int = 1) -> jnp.ndarray:
     """1-D convolution on (B, C, L) with (O, I, K) weights, 'same'-style pad.
@@ -159,6 +194,11 @@ def conv1d_ncl(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
                            preferred_element_type=jnp.float32)
         return y.astype(x.dtype)
     pad = dilation * (k - 1) // 2
+    use_mm = SHIFT_MM["enabled"]
+    if use_mm is None:
+        use_mm = jax.default_backend() in ("tpu", "axon")
+    if use_mm and stride == 1 and x.ndim == 3:
+        return _conv1d_shift_mm(x, w, dilation, pad)
     # no preferred_element_type: upcasting the output then downcasting makes
     # the conv BACKWARD see mixed (bf16, f32) operands, which
     # conv_general_dilated rejects; TPU convs accumulate in f32 regardless
