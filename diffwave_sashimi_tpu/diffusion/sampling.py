@@ -50,11 +50,16 @@ def sampling(apply_fn: Callable,
     alpha = schedule.alpha.astype(dtype)
     alpha_bar = schedule.alpha_bar.astype(dtype)
     sigma = schedule.sigma.astype(dtype)
+    t_embed = (None if schedule.t_embed is None
+               else schedule.t_embed.astype(dtype))
 
     def step(carry, t):
         x, key = carry
         key, noise_key = jax.random.split(key)
-        t_batch = jnp.full((B,), t, dtype=jnp.int32)
+        if t_embed is None:
+            t_batch = jnp.full((B,), t, dtype=jnp.int32)
+        else:   # aligned fast sampling: fractional trained-schedule step
+            t_batch = jnp.full((B,), t_embed[t], dtype=dtype)
         eps = apply_fn(params, x, t_batch, condition).astype(dtype)
         a_t = alpha[t]
         abar_t = alpha_bar[t]
@@ -80,6 +85,7 @@ def make_sampling_step(apply_fn, shape, schedule, dtype=jnp.float32):
     + one round trip, not T round trips.
     """
     B = shape[0]
+    has_embed = schedule.t_embed is not None
 
     @jax.jit
     def step(params, x, condition, keys, sched, t):
@@ -87,7 +93,10 @@ def make_sampling_step(apply_fn, shape, schedule, dtype=jnp.float32):
         alpha_t = sched[0, t]
         abar_t = sched[1, t]
         sigma_t = sched[2, t]
-        t_batch = jnp.full((B,), t, dtype=jnp.int32)
+        if has_embed:   # aligned fast sampling (sched row 3)
+            t_batch = jnp.full((B,), sched[3, t], dtype=dtype)
+        else:
+            t_batch = jnp.full((B,), t, dtype=jnp.int32)
         eps = apply_fn(params, x, t_batch, condition).astype(dtype)
         x = (x - (1.0 - alpha_t) / jnp.sqrt(1.0 - abar_t) * eps) \
             / jnp.sqrt(alpha_t)
@@ -111,8 +120,10 @@ def sampling_pipelined(apply_fn, params, shape, schedule, rng,
     init_rng, loop_rng = jax.random.split(rng)
     x = jax.random.normal(init_rng, shape, dtype=dtype)
     keys = jax.random.split(loop_rng, schedule.T)
-    sched = jnp.stack([schedule.alpha, schedule.alpha_bar,
-                       schedule.sigma]).astype(dtype)
+    rows = [schedule.alpha, schedule.alpha_bar, schedule.sigma]
+    if schedule.t_embed is not None:
+        rows.append(schedule.t_embed)
+    sched = jnp.stack(rows).astype(dtype)
     if step_fn is None:
         step_fn = make_sampling_step(apply_fn, shape, schedule, dtype)
 

@@ -25,20 +25,54 @@ class DiffusionSchedule(NamedTuple):
     alpha: jnp.ndarray     # (T,) 1 - beta
     alpha_bar: jnp.ndarray  # (T,) cumprod of alpha
     sigma: jnp.ndarray     # (T,) reverse-process noise scale sqrt(beta_tilde)
+    # (T,) float step values fed to the model's step embedding, or None to
+    # feed the integer step index (the reference's behavior).  Set by the
+    # ``align`` fast path: the model was trained on the FULL schedule's
+    # step<->noise-level correspondence, so few-step inference must map
+    # each fast step to the full-schedule step with the same sqrt(abar)
+    # (DiffWave paper Appendix B).  The reference omits this and feeds raw
+    # 0..5 (utils.py:50), which we measured at noise-level quality
+    # (FID 45.8 vs noise 45.96, eval_assets/flagship_fid.json round 5).
+    t_embed: Optional[jnp.ndarray] = None
+
+
+def align_fast_steps(abar_fast: np.ndarray, T: int, beta_0: float,
+                     beta_T: float) -> np.ndarray:
+    """Map fast-schedule noise levels onto the trained schedule's steps.
+
+    Returns (len(abar_fast),) float64: for each fast step s, the (linearly
+    interpolated, possibly fractional) t in [0, T-1] whose training
+    sqrt(alpha_bar) equals sqrt(abar_fast[s]).  Endpoints clamp.
+    """
+    b = np.linspace(beta_0, beta_T, T, dtype=np.float64)
+    st = np.sqrt(np.cumprod(1.0 - b))          # decreasing in t
+    sf = np.sqrt(np.asarray(abar_fast, dtype=np.float64))
+    # np.interp needs increasing xp: reverse both axes
+    return np.interp(sf, st[::-1], np.arange(T, dtype=np.float64)[::-1])
 
 
 def diffusion_schedule(T: int, beta_0: float, beta_T: float,
                        beta: Optional[Sequence[float]] = None,
-                       fast: bool = False,
+                       fast: bool = False, align: bool = True,
                        dtype=jnp.float32) -> DiffusionSchedule:
     """Build the schedule. Computed in float64 numpy, stored at ``dtype``.
 
     The reference computes in float32 torch; we use f64 intermediates (the
     cumulative product over 200 terms is the only place it matters) and cast
     once, which agrees with the reference to f32 roundoff.
+
+    ``align`` (fast path only): feed the model alpha-bar-matched fractional
+    steps of the trained (T, beta_0, beta_T) schedule instead of the raw
+    fast indices — see :class:`DiffusionSchedule`.  ``align=False``
+    reproduces the reference's (measured quality-broken) behavior.
     """
+    t_embed = None
     if fast and beta is not None:
         b = np.asarray(beta, dtype=np.float64)
+        if align:
+            abar_f = np.cumprod(1.0 - b)
+            t_embed = jnp.asarray(align_fast_steps(abar_f, T, beta_0,
+                                                   beta_T), dtype=dtype)
         T = len(b)
     else:
         b = np.linspace(beta_0, beta_T, T, dtype=np.float64)
@@ -56,15 +90,18 @@ def diffusion_schedule(T: int, beta_0: float, beta_T: float,
         alpha=jnp.asarray(a, dtype=dtype),
         alpha_bar=jnp.asarray(abar, dtype=dtype),
         sigma=jnp.asarray(sigma, dtype=dtype),
+        t_embed=t_embed,
     )
 
 
 def schedule_from_cfg(diffusion_cfg, fast: bool = False) -> DiffusionSchedule:
-    """Build from a ``diffusion:`` config block (keys T, beta_0, beta_T, beta)."""
+    """Build from a ``diffusion:`` config block (keys T, beta_0, beta_T,
+    beta, and optionally align)."""
     return diffusion_schedule(
         T=int(diffusion_cfg["T"]),
         beta_0=float(diffusion_cfg["beta_0"]),
         beta_T=float(diffusion_cfg["beta_T"]),
         beta=diffusion_cfg.get("beta"),
         fast=fast,
+        align=bool(diffusion_cfg.get("align", True)),
     )

@@ -338,6 +338,12 @@ class _ScanBlock(nn.Module):
         return (y, mo, vo), emitted
 
 
+# Same-(H, L) stage groups construct their S4 kernels in one wide vmap
+# (see Sashimi.compute_kernels).  Toggle exists for within-session A/B
+# timing only (scripts/kern_stage_breakdown.py) — both paths are exact.
+MERGE_STAGES = {"enabled": True}
+
+
 def _make_stack(n: int, remat: bool, **cfg):
     # static_argnums: `train` (index 7 counting the module instance as 0)
     # must stay a Python bool under jax.checkpoint — it selects code paths
@@ -611,8 +617,11 @@ class Sashimi(nn.Module):
             kernels: Dict[str, jnp.ndarray] = {}
             groups: Dict[tuple, list] = {}
             for name, H, Lt, Lg in self._scan_stage_info(audio_length):
-                groups.setdefault((H, Lt, Lg), []).append(name)
-            for (H, Lt, Lg), names in groups.items():
+                key = ((H, Lt, Lg) if MERGE_STAGES["enabled"]
+                       else (name, H, Lt, Lg))
+                groups.setdefault(key, []).append(name)
+            for key, names in groups.items():
+                H, Lt, Lg = key[-3:]
                 tmpl = self._block_template(H, Lt)
 
                 def one(p, tmpl=tmpl, Lg=Lg):

@@ -54,6 +54,9 @@ def main():
                     help="reuse checkpoints already in workdir")
     ap.add_argument("--override", action="append", default=[],
                     help="extra config overrides (smoke runs)")
+    ap.add_argument("--t6-only", action="store_true",
+                    help="skip the T200 trend; update only the fast-T6 "
+                         "entries of an existing artifact")
     args = ap.parse_args()
 
     if args.cpu:
@@ -119,15 +122,27 @@ def main():
 
     # 1) exact-schedule trend over every banked checkpoint
     trend = []
-    for it in banked:
-        r = gen_and_score(it, cfg.diffusion, "T200")
-        trend.append({"iter": it, "fid": r["fid"], "is": r["is"]})
+    if not args.t6_only:
+        for it in banked:
+            r = gen_and_score(it, cfg.diffusion, "T200")
+            trend.append({"iter": it, "fid": r["fid"], "is": r["is"]})
 
-    # 2) fast T=6 point from the final checkpoint (quality gate for the
-    #    fast_T6 headline in bench.py)
+    # 2) fast T=6 points from the final checkpoint (quality gate for the
+    #    fast_T6 headline in bench.py): ALIGNED (the DiffWave paper's
+    #    alpha-bar step matching, our default) and the reference's raw
+    #    0..5 indices (align=false), measured side by side
     diff_fast = dict(cfg.diffusion)
     diff_fast["beta"] = FAST_BETA_6
-    r6 = gen_and_score(banked[-1], diff_fast, "T6")
+    r6 = gen_and_score(banked[-1], diff_fast, "T6aligned")
+    diff_raw = dict(diff_fast)
+    diff_raw["align"] = False
+    r6_raw = gen_and_score(banked[-1], diff_raw, "T6raw")
+
+    prev = {}
+    if args.t6_only:
+        with open(os.path.join(ASSETS, "flagship_fid.json")) as f:
+            prev = json.load(f)
+        trend = prev.get("trend_T200", [])
 
     artifact = {
         "protocol": "synthetic SC09-style corpus (eval/synth.py seed 0); "
@@ -137,9 +152,13 @@ def main():
                   f"({args.iters} iters, {'CPU' if args.cpu else 'TPU'}, "
                   f"B{args.batch})"),
         "trend_T200": trend,
-        "fast_T6": {"iter": banked[-1], "fid": r6["fid"], "is": r6["is"]},
+        "fast_T6_aligned": {"iter": banked[-1], "fid": r6["fid"],
+                            "is": r6["is"]},
+        "fast_T6_raw_ref_behavior": {"iter": banked[-1],
+                                     "fid": r6_raw["fid"],
+                                     "is": r6_raw["is"]},
         "n_generated": args.n_gen,
-        "train_wall_s": round(t_train, 1),
+        "train_wall_s": prev.get("train_wall_s", round(t_train, 1)),
         "wall_s": round(time.time() - t0, 1),
     }
     out = os.path.join(ASSETS, "flagship_fid.json")
