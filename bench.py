@@ -266,6 +266,19 @@ def main():
         "device": str(jax.devices()[0]),
         "skipped_phases": [],
     }
+    # quality gate for the fast_T6 headline (committed flagship artifact,
+    # measured on this chip — see BASELINE.md round-5): aligned T=6 FID
+    # sits inside the T=200 trend band, so fast_T6_x_realtime is a
+    # quality-defensible speed claim
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "eval_assets", "flagship_fid.json")) as f:
+            _fid = json.load(f)
+        result["flagship_fid_T200"] = _fid["trend_T200"][-1]["fid"]
+        result["flagship_fid_fast_T6_aligned"] = \
+            _fid["fast_T6_aligned"]["fid"]
+    except (OSError, KeyError, IndexError, ValueError):
+        pass
 
     def emit():
         result["bench_wall_s"] = round(time.time() - t_start, 1)

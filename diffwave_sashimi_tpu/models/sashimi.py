@@ -338,10 +338,16 @@ class _ScanBlock(nn.Module):
         return (y, mo, vo), emitted
 
 
-# Same-(H, L) stage groups construct their S4 kernels in one wide vmap
-# (see Sashimi.compute_kernels).  Toggle exists for within-session A/B
-# timing only (scripts/kern_stage_breakdown.py) — both paths are exact.
-MERGE_STAGES = {"enabled": True}
+# Same-(H, L) stage groups can construct their S4 kernels in one wide
+# vmap (see Sashimi.compute_kernels).  Measured round 5 (v5e, within one
+# session, scripts/kern_stage_breakdown.py + train_merge_check.py):
+# isolated construction fwd+bwd 78.7 ms unmerged vs 100.3 merged (wider
+# vmap inflates backward buffers), full B32 train step 638.3 vs 647.2 ms
+# — per-stage sums equal the whole program, i.e. there is NO program-
+# count scheduling slack to reclaim, and ~46% of construction is the
+# speed-of-light VPU cauchy kernel.  Default OFF; both paths are exact
+# (tests/test_kernel_merge.py pins them bitwise-equal).
+MERGE_STAGES = {"enabled": False}
 
 
 def _make_stack(n: int, remat: bool, **cfg):

@@ -99,19 +99,25 @@ def main():
     print(f"[stages summed ]              fwd {total_f:6.2f} ms   "
           f"fwd+bwd {total_fb:6.2f} ms", flush=True)
 
-    # ---- the full compute_kernels for reference (same session) ----
-    def ck(p):
-        return model.apply(p, L, "v2", method=Sashimi.compute_kernels)
+    # ---- full compute_kernels, stage-merge OFF vs ON (same session) ----
+    from diffwave_sashimi_tpu.models import sashimi as sashimi_mod
+    for merge in (False, True):
+        sashimi_mod.MERGE_STAGES["enabled"] = merge
 
-    def ck_fb(p):
-        out, pull = jax.vjp(ck, p)
-        (g,) = pull(jax.tree.map(jnp.ones_like, out))
-        return reduce_tree(g)
+        # fresh function objects per mode: jit keys on function identity
+        def ck(p, _m=merge):
+            return model.apply(p, L, "v2", method=Sashimi.compute_kernels)
 
-    f = slope(jax.jit(ck), params)
-    fb = slope(jax.jit(ck_fb), params)
-    print(f"[all-stages    ]              fwd {f:6.2f} ms   "
-          f"fwd+bwd {fb:6.2f} ms", flush=True)
+        def ck_fb(p, ck=ck):
+            out, pull = jax.vjp(ck, p)
+            (g,) = pull(jax.tree.map(jnp.ones_like, out))
+            return reduce_tree(g)
+
+        f = slope(jax.jit(ck), params)
+        fb = slope(jax.jit(ck_fb), params)
+        print(f"[all-stages merge={int(merge)}]      fwd {f:6.2f} ms   "
+              f"fwd+bwd {fb:6.2f} ms", flush=True)
+    sashimi_mod.MERGE_STAGES["enabled"] = True
 
     # ---- cauchy kernel alone at each tier's exact shapes ----
     rs = np.random.RandomState(0)

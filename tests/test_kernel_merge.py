@@ -6,10 +6,21 @@ scheduling change, not a math change."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
+from diffwave_sashimi_tpu.models import sashimi as sashimi_mod
 from diffwave_sashimi_tpu.models.sashimi import DiffWaveBlock, Sashimi
 
 L = 4096
+
+
+@pytest.fixture(autouse=True)
+def _force_merge():
+    """The merge defaults OFF (measured slower in backward, round 5);
+    force it on here so the grouped path stays pinned."""
+    sashimi_mod.MERGE_STAGES["enabled"] = True
+    yield
+    sashimi_mod.MERGE_STAGES["enabled"] = False
 
 
 def test_merged_construction_matches_per_stage():
