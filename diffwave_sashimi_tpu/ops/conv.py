@@ -64,6 +64,7 @@ class WNConv1d(nn.Module):
     use_bias: bool = True
     dtype: Dtype = jnp.float32        # activation/compute dtype
     param_dtype: Dtype = jnp.float32
+    shift_mm: Any = "auto"            # see conv1d_ncl / SHIFT_MM
 
     def setup(self):
         fan_in = self.in_channels * self.kernel_size
@@ -91,7 +92,7 @@ class WNConv1d(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         w = self.effective_weight()
         y = conv1d_ncl(x.astype(self.dtype), w.astype(self.dtype),
-                       dilation=self.dilation)
+                       dilation=self.dilation, shift_mm=self.shift_mm)
         if self.use_bias:
             y = y + self.b.astype(self.dtype).reshape(_bshape(x.ndim))
         return y
@@ -141,18 +142,28 @@ class TorchLinear(nn.Module):
         return y.astype(self.dtype)
 
 
-# Dilated conv as k shifted channel matmuls. On TPU, XLA lowers NCH
-# conv_general_dilated with rhs_dilation through a generic conv path whose
-# layout/window handling leaves the MXU badly underfed (WaveNet's measured
-# sampling step sat 2.6x above its own MXU floor, BASELINE.md round 3);
-# k explicit pad+slice+einsum contractions hit the plain batched-matmul
-# path instead.  None = auto (on for TPU, off for CPU where the native
-# conv wins); scripts/wavenet_bench.py A/Bs the toggle.
+# Dilated conv as k shifted channel matmuls. Measured on v5e (round 5,
+# scripts/wavenet_shiftmm_check.py, within one session, wnet_h256_d36):
+# TRAINING 119.5 vs 175.8 ms/step B4 (+47% — the conv VJP is where XLA's
+# rhs_dilation lowering starves the MXU; matmul VJPs are clean), but
+# EVAL sampling 88.9 vs 65.7 ms/step B8 (XLA fuses the gate epilogue
+# into its conv better than into k separate einsums).  So the model
+# passes shift_mm per call: train -> "auto" (on for TPU), eval -> False.
+# set_shift_mm(True/False) force-overrides both for A/B scripts.
 SHIFT_MM = {"enabled": None}
 
 
 def set_shift_mm(enabled) -> None:
     SHIFT_MM["enabled"] = enabled
+
+
+def _resolve_shift_mm(local) -> bool:
+    g = SHIFT_MM["enabled"]
+    if g is not None:
+        return bool(g)
+    if local != "auto":
+        return bool(local)
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def _conv1d_shift_mm(x: jnp.ndarray, w: jnp.ndarray, dilation: int,
@@ -177,10 +188,12 @@ def _conv1d_shift_mm(x: jnp.ndarray, w: jnp.ndarray, dilation: int,
 
 
 def conv1d_ncl(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
-               stride: int = 1) -> jnp.ndarray:
+               stride: int = 1, shift_mm="auto") -> jnp.ndarray:
     """1-D convolution on (B, C, L) with (O, I, K) weights, 'same'-style pad.
 
     For k == 1 this is a pure channel matmul (one MXU contraction, no conv op).
+    ``shift_mm``: "auto" (shifted-matmul path on TPU), True, or False —
+    overridden by the module-level :data:`SHIFT_MM` toggle when set.
     """
     k = w.shape[-1]
     if k == 1 and stride == 1:
@@ -194,10 +207,7 @@ def conv1d_ncl(x: jnp.ndarray, w: jnp.ndarray, dilation: int = 1,
                            preferred_element_type=jnp.float32)
         return y.astype(x.dtype)
     pad = dilation * (k - 1) // 2
-    use_mm = SHIFT_MM["enabled"]
-    if use_mm is None:
-        use_mm = jax.default_backend() in ("tpu", "axon")
-    if use_mm and stride == 1 and x.ndim == 3:
+    if _resolve_shift_mm(shift_mm) and stride == 1 and x.ndim == 3:
         return _conv1d_shift_mm(x, w, dilation, pad)
     # no preferred_element_type: upcasting the output then downcasting makes
     # the conv BACKWARD see mixed (bf16, f32) operands, which
