@@ -45,8 +45,8 @@ def test_gradients_match_naive():
     def loss_n(v, w):
         return jnp.sum(jnp.abs(cauchy_sym_naive(v, z, w)) ** 2)
 
-    gv_p, gw_p = jax.grad(loss_p, argnums=(0, 1))(v, w)
-    gv_n, gw_n = jax.grad(loss_n, argnums=(0, 1))(v, w)
+    gv_p, gw_p = jax.jit(jax.grad(loss_p, argnums=(0, 1)))(v, w)
+    gv_n, gw_n = jax.jit(jax.grad(loss_n, argnums=(0, 1)))(v, w)
     np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_n),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_n),

@@ -27,12 +27,12 @@ def test_ff_train_vjp_matches_autodiff():
     w2 = jnp.asarray(rng.randn(H, F).astype(np.float32) * 0.1)
     b2 = jnp.asarray(rng.randn(H).astype(np.float32) * 0.1)
 
-    _, vjp = jax.vjp(lambda *a: chmix.ln_ff_res_ref(*a),
-                     x, m, s, w1, b1, w2, b2)
-    ref = vjp(g)
-    _, vjp2 = jax.vjp(lambda *a: chmix._ff_train(False, *a),
-                      x, m, s, w1, b1, w2, b2)
-    mine = vjp2(g)
+    ref = jax.jit(lambda g, *a: jax.vjp(
+        lambda *a: chmix.ln_ff_res_ref(*a), *a)[1](g))(
+        g, x, m, s, w1, b1, w2, b2)
+    mine = jax.jit(lambda g, *a: jax.vjp(
+        lambda *a: chmix._ff_train(False, *a), *a)[1](g))(
+        g, x, m, s, w1, b1, w2, b2)
     for name, a, b in zip("dx dm ds dw1 db1 dw2 db2".split(), mine, ref):
         assert _rel(a, b) < 2e-5, (name, _rel(a, b))
 

@@ -60,8 +60,10 @@ def tiny_cond():
                             jnp.float32)
     audio = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (2, 1, L),
                                     jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), audio[:1],
-                        jnp.zeros((1,), jnp.int32), mel[:1])
+    # jitted: eager whole-model init is per-op-dispatch-bound on this
+    # 1-core box, and the compiled program persists in .jax_cache
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), audio[:1],
+                                 jnp.zeros((1,), jnp.int32), mel[:1])
     params = _perturb(params, jax.random.PRNGKey(1))
     return model, params, audio, mel
 
@@ -100,10 +102,11 @@ def test_hoisted_mel_conds_match_per_step_mel(tiny_cond):
     L = audio.shape[-1]
     t = jnp.zeros((audio.shape[0],), jnp.int32)
 
-    y_ref = model.apply(params, audio, t, mel)
-    conds_flat = model.apply(params, mel, L, False,
-                             method=Sashimi.compute_mel_conds)
-    y_hoist = model.apply(params, audio, t, None, mel_conds=conds_flat)
+    y_ref = jax.jit(model.apply)(params, audio, t, mel)
+    conds_flat = jax.jit(lambda p, m: model.apply(
+        p, m, L, False, method=Sashimi.compute_mel_conds))(params, mel)
+    y_hoist = jax.jit(lambda p, a, t, c: model.apply(
+        p, a, t, None, mel_conds=c))(params, audio, t, conds_flat)
     np.testing.assert_allclose(np.asarray(y_hoist), np.asarray(y_ref),
                                atol=1e-5, rtol=1e-5)
 
@@ -120,16 +123,17 @@ def test_bf16_conditional_train_step_runs():
                     dtype=jnp.bfloat16)
     mel = jax.random.normal(jax.random.PRNGKey(3), (2, 80, L // 16))
     audio = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (2, 1, L))
-    params = model.init(jax.random.PRNGKey(0), audio[:1],
-                        jnp.zeros((1,), jnp.int32), mel[:1])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), audio[:1],
+                                 jnp.zeros((1,), jnp.int32), mel[:1])
     schedule = diffusion_schedule(T=4, beta_0=1e-4, beta_T=0.05)
 
     def apply_fn(p, x, t, m=None, **kw):
         return model.apply(p, x, t, m, train=True, **kw)
 
-    loss, grads = jax.value_and_grad(
+    loss, grads = jax.jit(jax.value_and_grad(
         lambda p: training_loss(apply_fn, p, audio, schedule,
-                                jax.random.PRNGKey(11), mel_spec=mel))(params)
+                                jax.random.PRNGKey(11),
+                                mel_spec=mel)))(params)
     assert np.isfinite(float(loss))
     for path, g in _mel_paths(grads):
         assert np.isfinite(np.asarray(g, np.float32)).all(), path
@@ -146,14 +150,14 @@ def test_mel_branch_gradients_nonzero(tiny_cond):
         return training_loss(apply_fn, p, audio, schedule,
                              jax.random.PRNGKey(11), mel_spec=mel)
 
-    grads = jax.grad(loss_fn)(params)
+    grads = jax.jit(jax.grad(loss_fn))(params)
     for path, g in _mel_paths(grads):
         assert float(jnp.abs(g).max()) > 0.0, f"zero grad on {path}"
 
     # and the forward output itself depends on mel
     t = jnp.zeros((audio.shape[0],), jnp.int32)
-    y1 = model.apply(params, audio, t, mel)
-    y2 = model.apply(params, audio, t, jnp.roll(mel, 7, axis=-1))
+    y1 = jax.jit(model.apply)(params, audio, t, mel)
+    y2 = jax.jit(model.apply)(params, audio, t, jnp.roll(mel, 7, axis=-1))
     assert float(jnp.abs(y1 - y2).max()) > 1e-7
 
 
@@ -169,19 +173,24 @@ def compact_cond():
                             jnp.float32)
     audio = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (1, 1, L),
                                     jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), audio,
-                        jnp.zeros((1,), jnp.int32), mel)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), audio,
+                                 jnp.zeros((1,), jnp.int32), mel)
     params = _perturb(params, jax.random.PRNGKey(1))
     return model, params, audio, mel
+
+
+def _jit_kernels_v2(model, params):
+    return jax.jit(lambda p: model.apply(
+        p, 16000, "v2", method=Sashimi.compute_kernels))(params)
 
 
 def test_compact_eval_conditional_matches_flat(compact_cond):
     model, params, audio, mel = compact_cond
     steps = jnp.asarray([42], jnp.int32)
-    y_flat = model.apply(params, audio, steps, mel)
-    kernels = model.apply(params, 16000, "v2",
-                          method=Sashimi.compute_kernels)
-    y_v2 = model.apply(params, audio, steps, mel, kernels=kernels)
+    y_flat = jax.jit(model.apply)(params, audio, steps, mel)
+    kernels = _jit_kernels_v2(model, params)
+    y_v2 = jax.jit(lambda p, a, s, m, k: model.apply(
+        p, a, s, m, kernels=k))(params, audio, steps, mel, kernels)
     assert float(jnp.abs(y_flat - jnp.roll(y_flat, 1, -1)).max()) > 0
     np.testing.assert_allclose(np.asarray(y_v2), np.asarray(y_flat),
                                atol=3e-4, rtol=1e-3)
@@ -192,12 +201,12 @@ def test_hoisted_mel_conds_match_per_step_compact(compact_cond):
     compact conds must reproduce the per-step mel path."""
     model, params, audio, mel = compact_cond
     t = jnp.asarray([42], jnp.int32)
-    kernels = model.apply(params, 16000, "v2",
-                          method=Sashimi.compute_kernels)
-    y_ref = model.apply(params, audio, t, mel, kernels)
-    conds = model.apply(params, mel, 16000, True,
-                        method=Sashimi.compute_mel_conds)
-    y_hoist = model.apply(params, audio, t, None, kernels, mel_conds=conds)
+    kernels = _jit_kernels_v2(model, params)
+    y_ref = jax.jit(model.apply)(params, audio, t, mel, kernels)
+    conds = jax.jit(lambda p, m: model.apply(
+        p, m, 16000, True, method=Sashimi.compute_mel_conds))(params, mel)
+    y_hoist = jax.jit(lambda p, a, t, k, c: model.apply(
+        p, a, t, None, k, mel_conds=c))(params, audio, t, kernels, conds)
     assert float(jnp.abs(y_ref - jnp.roll(y_ref, 1, -1)).max()) > 0
     np.testing.assert_allclose(np.asarray(y_hoist), np.asarray(y_ref),
                                atol=1e-5, rtol=1e-5)
@@ -219,8 +228,8 @@ def test_compact_train_conditional_grads_match_flat(compact_cond):
         y = model.apply(p, audio, steps, mel, train=True)
         return jnp.mean(y ** 2)
 
-    g_v2 = jax.grad(loss_v2)(params)
-    g_flat = jax.grad(loss_flat)(params)
+    g_v2 = jax.jit(jax.grad(loss_v2))(params)
+    g_flat = jax.jit(jax.grad(loss_flat))(params)
 
     # mel branch specifically is nonzero and matches
     mv2, mfl = dict(_mel_paths(g_v2)), dict(_mel_paths(g_flat))

@@ -22,9 +22,9 @@ L = 256
 def _tiny(dropout):
     model = Sashimi(d_model=8, n_layers=1, pool=(4, 4), expand=2, ff=2,
                     L=L, dropout=dropout)
-    params = model.init({"params": jax.random.PRNGKey(0)},
-                        jnp.zeros((1, 1, L), jnp.float32),
-                        jnp.zeros((1,), jnp.int32))
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
+                                 jnp.zeros((1, 1, L), jnp.float32),
+                                 jnp.zeros((1,), jnp.int32))
     # Perturb: the zero-init eps head makes the output identically zero at
     # init (CLAUDE.md fact 12), which would mask dropout entirely.
     rng = np.random.RandomState(0)
@@ -40,9 +40,8 @@ def _tiny(dropout):
 def test_dropout_is_stochastic_in_train_mode():
     model, params, audio, steps = _tiny(dropout=0.5)
 
-    def fwd(key):
-        return model.apply(params, audio, steps, train=True,
-                           rngs={"dropout": key})
+    fwd = jax.jit(lambda key: model.apply(params, audio, steps, train=True,
+                                          rngs={"dropout": key}))
 
     y1 = fwd(jax.random.PRNGKey(10))
     y2 = fwd(jax.random.PRNGKey(11))
@@ -52,16 +51,19 @@ def test_dropout_is_stochastic_in_train_mode():
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y1b))
 
     # eval mode ignores dropout entirely (no rng needed, deterministic)
-    ye1 = model.apply(params, audio, steps, train=False)
-    ye2 = model.apply(params, audio, steps, train=False)
+    eval_fwd = jax.jit(lambda: model.apply(params, audio, steps,
+                                           train=False))
+    ye1 = eval_fwd()
+    ye2 = eval_fwd()
     np.testing.assert_array_equal(np.asarray(ye1), np.asarray(ye2))
     assert not np.allclose(np.asarray(y1), np.asarray(ye1))
 
 
 def test_dropout_zero_is_deterministic_and_needs_no_rng():
     model, params, audio, steps = _tiny(dropout=0.0)
-    y1 = model.apply(params, audio, steps, train=True)
-    y2 = model.apply(params, audio, steps, train=True)
+    fwd = jax.jit(lambda: model.apply(params, audio, steps, train=True))
+    y1 = fwd()
+    y2 = fwd()
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
 
 

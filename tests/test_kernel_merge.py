@@ -26,8 +26,9 @@ def _force_merge():
 def test_merged_construction_matches_per_stage():
     model = Sashimi(d_model=16, n_layers=2, pool=(4, 4), expand=2, ff=2,
                     L=L)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, L)),
-                        jnp.zeros((1,), jnp.int32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 1, L)),
+                                 jnp.zeros((1,), jnp.int32))
     bound = model.bind(params)
     ap = params["params"]
 
@@ -37,7 +38,12 @@ def test_merged_construction_matches_per_stage():
     assert (jax.tree.structure(stacks[0]) == jax.tree.structure(stacks[1]))
 
     for freq in (False, "v2", "fact"):
-        new = model.apply(params, L, freq, method=Sashimi.compute_kernels)
+        # jitted (eager construction is ~1000 per-op dispatches on this
+        # 1-core box); bitwise equality must survive XLA fusion — the
+        # merged program is the same vmapped computation with a larger
+        # leading batch, so per-element op order is unchanged
+        new = jax.jit(lambda p, freq=freq: model.apply(
+            p, L, freq, method=Sashimi.compute_kernels))(params)
         method = {False: DiffWaveBlock.compute_kernel,
                   "fact": DiffWaveBlock.compute_kernel_fact,
                   "v2": DiffWaveBlock.compute_kernel_v2}[freq]
@@ -47,7 +53,7 @@ def test_merged_construction_matches_per_stage():
             def one(p, tmpl=tmpl, Lg=Lg):
                 return tmpl.apply({"params": p}, Lg, method=method)
 
-            ref = jax.vmap(one)(ap[name]["block"])
+            ref = jax.jit(jax.vmap(one))(ap[name]["block"])
             for a, b in zip(jax.tree.leaves(new[name]),
                             jax.tree.leaves(ref)):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -17,8 +17,11 @@ def test_nplr_measures_forward(measure, rank):
     H, N, L = 4, 16, 64
     mod = S4(d_model=H, d_state=N, l_max=L, bidirectional=True,
              measure=measure, rank=rank)
-    params = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, H, L)))
-    y = mod.apply(params, jax.random.normal(jax.random.PRNGKey(1), (2, H, L)))
+    # jitted: whole-module eager init/apply is per-op-dispatch-bound
+    params = jax.jit(mod.init)(jax.random.PRNGKey(0), jnp.zeros((1, H, L)))
+    y = jax.jit(mod.apply)(params,
+                           jax.random.normal(jax.random.PRNGKey(1),
+                                             (2, H, L)))
     assert y.shape == (2, H, L)
     assert np.isfinite(np.asarray(y)).all()
 
@@ -28,8 +31,10 @@ def test_diag_measures_forward(measure):
     H, N, L = 4, 16, 64
     mod = S4(d_model=H, d_state=N, l_max=L, mode="diag", measure=measure,
              bidirectional=True)
-    params = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, H, L)))
-    y = mod.apply(params, jax.random.normal(jax.random.PRNGKey(1), (2, H, L)))
+    params = jax.jit(mod.init)(jax.random.PRNGKey(0), jnp.zeros((1, H, L)))
+    y = jax.jit(mod.apply)(params,
+                           jax.random.normal(jax.random.PRNGKey(1),
+                                             (2, H, L)))
     assert y.shape == (2, H, L)
     assert np.isfinite(np.asarray(y)).all()
 
@@ -59,8 +64,10 @@ def test_n_ssm_tied_copies():
     """n_ssm < H ties SSM tensors across heads (tile semantics)."""
     H, N, L = 8, 8, 32
     mod = S4(d_model=H, d_state=N, l_max=L, bidirectional=True, n_ssm=2)
-    params = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, H, L)))
+    params = jax.jit(mod.init)(jax.random.PRNGKey(0), jnp.zeros((1, H, L)))
     kp = params["params"]["kernel"]
     assert kp["inv_w_real"].shape[0] == 2
-    y = mod.apply(params, jax.random.normal(jax.random.PRNGKey(1), (1, H, L)))
+    y = jax.jit(mod.apply)(params,
+                           jax.random.normal(jax.random.PRNGKey(1),
+                                             (1, H, L)))
     assert np.isfinite(np.asarray(y)).all()

@@ -149,8 +149,8 @@ def test_s4_shorter_sequence_truncates_kernel():
     # L < l_max: kernel truncated, no error (ref S4.forward L_kernel=min(...))
     H, N, L = 4, 8, 128
     mod = S4(d_model=H, d_state=N, l_max=L, bidirectional=True)
-    params = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, H, L)))
-    y = mod.apply(params, jnp.zeros((1, H, 32)))
+    params = jax.jit(mod.init)(jax.random.PRNGKey(0), jnp.zeros((1, H, L)))
+    y = jax.jit(mod.apply)(params, jnp.zeros((1, H, 32)))
     assert y.shape == (1, H, 32)
 
 

@@ -18,17 +18,18 @@ from diffwave_sashimi_tpu.models.s4_step import (default_state,
 def test_step_matches_convolution():
     H, N, L, B = 4, 8, 64, 2
     mod = S4(d_model=H, d_state=N, l_max=L, bidirectional=False)
-    params = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, H, L)))
+    params = jax.jit(mod.init)(jax.random.PRNGKey(0), jnp.zeros((1, H, L)))
 
     u = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (B, H, L)),
                    np.float32)
-    y_conv = np.asarray(mod.apply(params, jnp.asarray(u)))  # (B, H, L)
+    y_conv = np.asarray(jax.jit(mod.apply)(params, jnp.asarray(u)))
 
     sp = nplr_step_setup(params["params"], l_max=L)
     state = default_state(B, H, N)
+    step = jax.jit(s4_step)
     ys = []
     for t in range(L):
-        y_t, state = s4_step(sp, jnp.asarray(u[:, :, t]), state)
+        y_t, state = step(sp, jnp.asarray(u[:, :, t]), state)
         ys.append(np.asarray(y_t))
     y_rec = np.stack(ys, axis=-1)                           # (B, H, L)
 
@@ -39,7 +40,7 @@ def test_state_spectrum_is_stable():
     # all |eig(dA)| <= 1: the discretized system must be stable
     H, N, L = 3, 8, 32
     mod = S4(d_model=H, d_state=N, l_max=L, bidirectional=False)
-    params = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, H, L)))
+    params = jax.jit(mod.init)(jax.random.PRNGKey(0), jnp.zeros((1, H, L)))
     sp = nplr_step_setup(params["params"], l_max=L)
     eigs = np.linalg.eigvals(np.asarray(sp.dA))
     assert np.abs(eigs).max() <= 1.0 + 1e-4

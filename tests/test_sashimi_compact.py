@@ -40,13 +40,14 @@ def test_compact_forward_matches_flat(model_and_params):
     audio = rng.randn(2, 1, 16000).astype(np.float32) * 0.3
     steps = np.array([7, 100], np.int32)
 
-    y_flat = model.apply(params, jnp.asarray(audio), jnp.asarray(steps))
-    kernels = model.apply(params, 16000, "v2",
-                          method=Sashimi.compute_kernels)
+    y_flat = jax.jit(model.apply)(params, jnp.asarray(audio),
+                                  jnp.asarray(steps))
+    kernels = jax.jit(lambda p: model.apply(
+        p, 16000, "v2", method=Sashimi.compute_kernels))(params)
     for v in kernels.values():
         assert isinstance(v, tuple) and len(v) == 2
-    y_v2 = model.apply(params, jnp.asarray(audio), jnp.asarray(steps),
-                       kernels=kernels)
+    y_v2 = jax.jit(lambda p, a, s, k: model.apply(p, a, s, kernels=k))(
+        params, jnp.asarray(audio), jnp.asarray(steps), kernels)
     np.testing.assert_allclose(np.asarray(y_v2), np.asarray(y_flat),
                                atol=2e-4, rtol=1e-3)
 
@@ -59,9 +60,6 @@ def test_compact_forward_train_grads(model_and_params):
     audio = jnp.asarray(rng.randn(1, 1, 16000).astype(np.float32) * 0.3)
     steps = jnp.asarray(np.array([42], np.int32))
 
-    kernels = model.apply(params, 16000, "v2",
-                          method=Sashimi.compute_kernels)
-
     def loss_v2(p):
         k = model.apply(p, 16000, "v2", method=Sashimi.compute_kernels)
         y = model.apply(p, audio, steps, kernels=k, train=True)
@@ -71,8 +69,8 @@ def test_compact_forward_train_grads(model_and_params):
         y = model.apply(p, audio, steps, train=True)
         return jnp.mean(y ** 2)
 
-    g_v2 = jax.grad(loss_v2)(params)
-    g_flat = jax.grad(loss_flat)(params)
+    g_v2 = jax.jit(jax.grad(loss_v2))(params)
+    g_flat = jax.jit(jax.grad(loss_flat))(params)
     flat_v2, _ = jax.flatten_util.ravel_pytree(g_v2)
     flat_fl, _ = jax.flatten_util.ravel_pytree(g_flat)
     np.testing.assert_allclose(np.asarray(flat_v2), np.asarray(flat_fl),
@@ -102,7 +100,7 @@ def test_remat_train_grads(block_scan):
             return jnp.mean(y ** 2)
         return loss
 
-    g = jax.grad(loss_for(model))(params)
+    g = jax.jit(jax.grad(loss_for(model)))(params)
     total = jax.flatten_util.ravel_pytree(g)[0]
     assert np.isfinite(np.asarray(total)).all()
 
@@ -112,7 +110,7 @@ def test_remat_train_grads(block_scan):
     # transform not a parameterization change)
     model_nr = Sashimi(d_model=8, n_layers=1, pool=(4, 4), expand=2, ff=2,
                        L=16000, remat=False, block_scan=block_scan)
-    g_nr = jax.grad(loss_for(model_nr))(params)
+    g_nr = jax.jit(jax.grad(loss_for(model_nr)))(params)
     flat_r = jax.flatten_util.ravel_pytree(g)[0]
     flat_nr = jax.flatten_util.ravel_pytree(g_nr)[0]
     np.testing.assert_allclose(np.asarray(flat_r), np.asarray(flat_nr),

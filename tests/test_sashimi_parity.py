@@ -115,13 +115,14 @@ def test_sashimi_precomputed_kernels_match(sashimi_small):
     # alike) — reuse the one compile from conftest.sashimi_small
     model, params = sashimi_small
     L = model.L
-    kernels = model.apply(params, L, method=Sashimi.compute_kernels)
+    kernels = jax.jit(lambda p: model.apply(
+        p, L, method=Sashimi.compute_kernels))(params)
     # n_layers=1, pool=(4,4), unet: d0, d1, c, u0, u1 -> 5 block kernels
     assert len(kernels) == 5
     audio = jax.random.normal(jax.random.PRNGKey(1), (2, 1, L))
     steps = jnp.array([5, 6])
-    y1 = model.apply(params, audio, steps)
-    y2 = model.apply(params, audio, steps, None, kernels)
+    y1 = jax.jit(model.apply)(params, audio, steps)
+    y2 = jax.jit(model.apply)(params, audio, steps, None, kernels)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
 
 
@@ -150,18 +151,19 @@ def test_block_scan_equivalent_to_unrolled():
                               jnp.zeros((1,), jnp.int32))
     audio = jax.random.normal(jax.random.PRNGKey(1), (2, 1, L))
     steps = jnp.array([3, 9])
-    y_un = un.apply(params, audio, steps)
+    y_un = jax.jit(un.apply)(params, audio, steps)
 
     sc = Sashimi(d_model=8, n_layers=n_layers, pool=(4, 4), L=L,
                  block_scan=True)
     stacked = {"params": stack_sashimi_blocks(
         jax.tree.map(np.asarray, params["params"]), n_layers, [4, 4])}
-    y_sc = sc.apply(stacked, audio, steps)
+    y_sc = jax.jit(sc.apply)(stacked, audio, steps)
     np.testing.assert_allclose(np.asarray(y_sc), np.asarray(y_un),
                                atol=2e-5, rtol=1e-3)
 
     # and with precomputed freq kernels
-    kf = sc.apply(stacked, L, True, method=Sashimi.compute_kernels)
-    y_k = sc.apply(stacked, audio, steps, None, kf)
+    kf = jax.jit(lambda p: sc.apply(
+        p, L, True, method=Sashimi.compute_kernels))(stacked)
+    y_k = jax.jit(sc.apply)(stacked, audio, steps, None, kf)
     np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_un),
                                atol=2e-5, rtol=1e-3)
