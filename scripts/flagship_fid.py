@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--t6-only", action="store_true",
                     help="skip the T200 trend; update only the fast-T6 "
                          "entries of an existing artifact")
+    ap.add_argument("--out", default="flagship_fid.json",
+                    help="artifact filename under eval_assets/ (e.g. "
+                         "flagship_fid_d128.json for the full-width run)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -140,7 +143,7 @@ def main():
 
     prev = {}
     if args.t6_only:
-        with open(os.path.join(ASSETS, "flagship_fid.json")) as f:
+        with open(os.path.join(ASSETS, args.out)) as f:
             prev = json.load(f)
         trend = prev.get("trend_T200", [])
 
@@ -161,7 +164,7 @@ def main():
         "train_wall_s": prev.get("train_wall_s", round(t_train, 1)),
         "wall_s": round(time.time() - t0, 1),
     }
-    out = os.path.join(ASSETS, "flagship_fid.json")
+    out = os.path.join(ASSETS, args.out)
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"[flagship] wrote {out}", flush=True)
