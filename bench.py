@@ -266,19 +266,24 @@ def main():
         "device": str(jax.devices()[0]),
         "skipped_phases": [],
     }
-    # quality gate for the fast_T6 headline (committed flagship artifact,
+    # quality gate for the fast_T6 headline (committed flagship artifacts,
     # measured on this chip — see BASELINE.md round-5): aligned T=6 FID
-    # sits inside the T=200 trend band, so fast_T6_x_realtime is a
-    # quality-defensible speed claim
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "eval_assets", "flagship_fid.json")) as f:
-            _fid = json.load(f)
-        result["flagship_fid_T200"] = _fid["trend_T200"][-1]["fid"]
-        result["flagship_fid_fast_T6_aligned"] = \
-            _fid["fast_T6_aligned"]["fid"]
-    except (OSError, KeyError, IndexError, ValueError):
-        pass
+    # sits next to the same checkpoint's T=200 FID, so fast_T6_x_realtime
+    # is a quality-defensible speed claim.  Prefer the d128 artifact (the
+    # exact configuration benched here); fall back to the d64 one.
+    for _name in ("flagship_fid_d128.json", "flagship_fid.json"):
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "eval_assets", _name)) as f:
+                _fid = json.load(f)
+            result["flagship_fid_T200"] = _fid["trend_T200"][-1]["fid"]
+            result["flagship_fid_fast_T6_aligned"] = \
+                _fid["fast_T6_aligned"]["fid"]
+            result["flagship_fid_model"] = _fid.get("model")
+            break
+        except (OSError, KeyError, IndexError, ValueError):
+            continue
 
     def emit():
         result["bench_wall_s"] = round(time.time() - t_start, 1)
