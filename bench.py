@@ -277,9 +277,17 @@ def main():
                     os.path.dirname(os.path.abspath(__file__)),
                     "eval_assets", _name)) as f:
                 _fid = json.load(f)
-            result["flagship_fid_T200"] = _fid["trend_T200"][-1]["fid"]
-            result["flagship_fid_fast_T6_aligned"] = \
-                _fid["fast_T6_aligned"]["fid"]
+            if "final_large_n" in _fid:
+                # full-corpus rescore of the final checkpoint — robust
+                # to the single-draw variance of the n=72 trend points
+                result["flagship_fid_T200"] = \
+                    _fid["final_large_n"]["T200"]["fid"]
+                result["flagship_fid_fast_T6_aligned"] = \
+                    _fid["final_large_n"]["fast_T6_aligned"]["fid"]
+            else:
+                result["flagship_fid_T200"] = _fid["trend_T200"][-1]["fid"]
+                result["flagship_fid_fast_T6_aligned"] = \
+                    _fid["fast_T6_aligned"]["fid"]
             result["flagship_fid_model"] = _fid.get("model")
             break
         except (OSError, KeyError, IndexError, ValueError):
