@@ -32,6 +32,16 @@ enable_compile_cache()
 FAST_BETA_6 = [0.0001, 0.001, 0.01, 0.05, 0.2, 0.5]  # DiffWave fast schedule
 
 
+def canon_beta(T: int):
+    """The canonical 6-entry list's SHAPE resampled at T points (log-linear
+    in index space) — measured best at matched T (BASELINE.md round-5:
+    canon T=12 FID 1.24 vs exact-path 1.31 on the d128 flagship)."""
+    xs = np.linspace(0.0, len(FAST_BETA_6) - 1, T)
+    return [float(b) for b in
+            np.exp(np.interp(xs, np.arange(len(FAST_BETA_6)),
+                             np.log(FAST_BETA_6)))]
+
+
 def build(batch: int, d_model: int = 128, L: int = 16000, T: int = 200):
     from diffwave_sashimi_tpu.diffusion import (diffusion_schedule, sampling_pipelined, make_sampling_step)
     from diffwave_sashimi_tpu.models.sashimi import Sashimi
@@ -46,6 +56,9 @@ def build(batch: int, d_model: int = 128, L: int = 16000, T: int = 200):
     if T == 6:
         schedule = diffusion_schedule(T=200, beta_0=1e-4, beta_T=0.02,
                                       beta=FAST_BETA_6, fast=True)
+    elif T == 12:
+        schedule = diffusion_schedule(T=200, beta_0=1e-4, beta_T=0.02,
+                                      beta=canon_beta(12), fast=True)
     else:
         schedule = diffusion_schedule(T=T, beta_0=1e-4, beta_T=0.02)
 
@@ -256,6 +269,7 @@ def main():
         "batch": None,
         "seconds_per_batch": None,
         "fast_T6_x_realtime": None,
+        "fast_T12_x_realtime": None,
         "train_steps_per_sec": None,
         "train_batch": None,
         "train_mfu_est": None,
@@ -292,6 +306,18 @@ def main():
             break
         except (OSError, KeyError, IndexError, ValueError):
             continue
+    # fast-T12 quality point (canon-shaped schedule, fast_curve artifact):
+    # measured at exact-path quality, making fast_T12_x_realtime a
+    # quality-PARITY >=20x claim
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "eval_assets", "fast_curve_d128.json")) as f:
+            _curve = json.load(f)
+        result["flagship_fid_fast_T12_canon"] = next(
+            p["fid"] for p in _curve["points"]
+            if p["T"] == 12 and p.get("shape") == "canon")
+    except (OSError, KeyError, StopIteration, ValueError):
+        pass
 
     def emit():
         result["bench_wall_s"] = round(time.time() - t_start, 1)
@@ -349,6 +375,18 @@ def main():
             result["fast_T6_x_realtime"] = round(realtime_fast, 3)
         except Exception as e:
             print(f"[bench] fast-schedule bench failed: {type(e).__name__}",
+                  file=sys.stderr, flush=True)
+        emit()
+
+    # Phase 3b: canon-shaped aligned 12-step schedule — measured at
+    # EXACT-PATH quality (FID 1.24 vs 1.31, fast_curve_d128.json), so this
+    # is the quality-parity >=20x operating point.
+    if time_left("fast_T12", 120):
+        try:
+            _, rt12, _ = measure_generation(T=12, batches=(16,))
+            result["fast_T12_x_realtime"] = round(rt12, 3)
+        except Exception as e:
+            print(f"[bench] fast-T12 bench failed: {type(e).__name__}",
                   file=sys.stderr, flush=True)
         emit()
 

@@ -43,10 +43,19 @@ ASSETS = os.path.join(os.path.dirname(os.path.dirname(
 FAST_BETA_6 = [0.0001, 0.001, 0.01, 0.05, 0.2, 0.5]
 
 
-def beta_list(T: int):
-    """Canonical list at T=6; log-spaced over the same endpoints otherwise."""
+def beta_list(T: int, shape: str = "geom"):
+    """Canonical list at T=6; otherwise either log-spaced over the same
+    endpoints ("geom") or the canonical list's SHAPE resampled at T points
+    ("canon": log-linear interpolation in index space — the canonical list
+    is steeper early and slower in the tail than pure geomspace, and that
+    shape measured better at matched T, see BASELINE.md round-5)."""
     if T == 6:
         return FAST_BETA_6
+    if shape == "canon":
+        xs = np.linspace(0.0, len(FAST_BETA_6) - 1, T)
+        return [float(b) for b in
+                np.exp(np.interp(xs, np.arange(len(FAST_BETA_6)),
+                                 np.log(FAST_BETA_6)))]
     return [float(b) for b in np.geomspace(FAST_BETA_6[0], FAST_BETA_6[-1],
                                            T)]
 
@@ -60,6 +69,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16,
                     help="train batch of the trained run (run-name key)")
     ap.add_argument("--steps", type=int, nargs="+", default=[4, 6, 8, 12])
+    ap.add_argument("--shape", choices=("geom", "canon"), default="geom")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge points into an existing artifact instead "
+                         "of overwriting it")
     ap.add_argument("--n", type=int, default=240)
     ap.add_argument("--gen-batch", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
@@ -99,31 +112,45 @@ def main():
     points = []
     for T in args.steps:
         diff = dict(cfg.diffusion)
-        diff["beta"] = beta_list(T)
+        diff["beta"] = beta_list(T, args.shape)
         generate(diff, cfg.model, cfg.dataset, name=name, ckpt_iter=it,
                  n_samples=args.n, batch_size=args.gen_batch)
         wav_dir = os.path.join(gen_root, str(it))
         with jax.default_device(jax.devices("cpu")[0]):
             r = score(corpus, wav_dir, clf_ckpt, n=args.n)
-        dst = wav_dir + f"_curveT{T}"
+        shape = "canonical" if T == 6 else args.shape
+        dst = wav_dir + f"_curveT{T}{shape}"
         shutil.rmtree(dst, ignore_errors=True)
         shutil.move(wav_dir, dst)
-        points.append({"T": T, "fid": r["fid"], "is": r["is"]})
-        print(f"[curve] T={T}: FID {r['fid']} IS {r['is']}", flush=True)
+        points.append({"T": T, "shape": shape, "fid": r["fid"],
+                       "is": r["is"]})
+        print(f"[curve] T={T} ({shape}): FID {r['fid']} IS {r['is']}",
+              flush=True)
 
-    artifact = {
-        "protocol": (f"aligned fast schedules on the final checkpoint "
-                     f"(iter {it}) of sashimi d{args.d_model}; log-spaced "
-                     f"beta 1e-4..0.5 except the canonical list at T=6; "
-                     f"n={args.n} vs the full synthetic corpus"),
-        "model": f"sashimi d{args.d_model} ({it} iters)",
-        "points": points,
-        "x_realtime_note": ("per-chip realtime scales ~1/T of the T=200 "
-                            "exact path's per-step cost; see bench.py "
-                            "fast_T6_x_realtime for the measured T=6 point"),
-        "wall_s": round(time.time() - t0, 1),
-    }
     out = os.path.join(ASSETS, f"fast_curve_d{args.d_model}.json")
+    if args.merge:
+        with open(out) as f:
+            artifact = json.load(f)
+        seen = {(p["T"], p.get("shape")) for p in points}
+        artifact["points"] = [p for p in artifact["points"]
+                              if (p["T"], p.get("shape")) not in seen]
+        artifact["points"] += points
+        artifact["points"].sort(key=lambda p: (p["T"], p.get("shape") or ""))
+    else:
+        artifact = {
+            "protocol": (f"aligned fast schedules on the final checkpoint "
+                         f"(iter {it}) of sashimi d{args.d_model}; beta "
+                         f"1e-4..0.5 per-point shape as tagged (canonical "
+                         f"list at T=6); n={args.n} vs the full synthetic "
+                         f"corpus"),
+            "model": f"sashimi d{args.d_model} ({it} iters)",
+            "points": points,
+            "x_realtime_note": ("per-chip realtime scales ~1/T of the "
+                                "T=200 exact path's per-step cost; see "
+                                "bench.py fast_T6_x_realtime for the "
+                                "measured T=6 point"),
+        }
+    artifact["wall_s"] = round(time.time() - t0, 1)
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"[curve] wrote {out}", flush=True)
