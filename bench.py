@@ -29,17 +29,15 @@ from diffwave_sashimi_tpu.utils import enable_compile_cache
 enable_compile_cache()
 
 
-FAST_BETA_6 = [0.0001, 0.001, 0.01, 0.05, 0.2, 0.5]  # DiffWave fast schedule
+# canonical DiffWave fast schedule + canon-shape resampler (measured best
+# at matched T — BASELINE.md round-5: canon T=12 FID 1.24 vs exact 1.31)
+from diffwave_sashimi_tpu.diffusion import FAST_BETA_6, fast_beta_list
+
+FAST_BETA_6 = list(FAST_BETA_6)
 
 
 def canon_beta(T: int):
-    """The canonical 6-entry list's SHAPE resampled at T points (log-linear
-    in index space) — measured best at matched T (BASELINE.md round-5:
-    canon T=12 FID 1.24 vs exact-path 1.31 on the d128 flagship)."""
-    xs = np.linspace(0.0, len(FAST_BETA_6) - 1, T)
-    return [float(b) for b in
-            np.exp(np.interp(xs, np.arange(len(FAST_BETA_6)),
-                             np.log(FAST_BETA_6)))]
+    return fast_beta_list(T, "canon")
 
 
 def build(batch: int, d_model: int = 128, L: int = 16000, T: int = 200):

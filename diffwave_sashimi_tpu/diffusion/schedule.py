@@ -36,6 +36,36 @@ class DiffusionSchedule(NamedTuple):
     t_embed: Optional[jnp.ndarray] = None
 
 
+# DiffWave's published 6-entry fast variance schedule (reference
+# utils.py:133-135) — also the SHAPE template for other step counts.
+FAST_BETA_6 = (0.0001, 0.001, 0.01, 0.05, 0.2, 0.5)
+
+
+def fast_beta_list(T: int, shape: str = "canon"):
+    """A T-entry fast variance schedule over the canonical endpoints.
+
+    ``canon`` (default) resamples the canonical 6-entry list's shape
+    (log-linear interpolation in index space — steep early, slowing
+    tail); ``geom`` is pure log-spacing.  Measured on the d128 flagship
+    (BASELINE.md round-5): canon T=12 scores FID 1.24 vs the exact
+    T=200 path's 1.31 at ~22.5x realtime — schedule shape matters
+    (canon dominates geom at matched T).  T=6 returns the canonical
+    list itself for both shapes.
+    """
+    if T == 6:
+        return [float(b) for b in FAST_BETA_6]
+    if shape == "canon":
+        xs = np.linspace(0.0, len(FAST_BETA_6) - 1, T)
+        return [float(b) for b in
+                np.exp(np.interp(xs, np.arange(len(FAST_BETA_6)),
+                                 np.log(FAST_BETA_6)))]
+    if shape == "geom":
+        return [float(b) for b in
+                np.geomspace(FAST_BETA_6[0], FAST_BETA_6[-1], T)]
+    raise ValueError(f"unknown fast schedule shape {shape!r} "
+                     "(expected 'canon' or 'geom')")
+
+
 def align_fast_steps(abar_fast: np.ndarray, T: int, beta_0: float,
                      beta_T: float) -> np.ndarray:
     """Map fast-schedule noise levels onto the trained schedule's steps.
@@ -96,12 +126,22 @@ def diffusion_schedule(T: int, beta_0: float, beta_T: float,
 
 def schedule_from_cfg(diffusion_cfg, fast: bool = False) -> DiffusionSchedule:
     """Build from a ``diffusion:`` config block (keys T, beta_0, beta_T,
-    beta, and optionally align)."""
+    beta, and optionally align / fast_steps / fast_shape).
+
+    ``fast_steps`` (int) synthesizes a T-entry fast schedule via
+    :func:`fast_beta_list` when no explicit ``beta`` list is given —
+    e.g. ``generate.py experiment=sc09 +diffusion.fast_steps=12`` runs
+    the measured quality-parity ~22.5x operating point.  ``fast_shape``
+    picks the list shape (default ``canon``)."""
+    beta = diffusion_cfg.get("beta")
+    if fast and beta is None and diffusion_cfg.get("fast_steps"):
+        beta = fast_beta_list(int(diffusion_cfg["fast_steps"]),
+                              str(diffusion_cfg.get("fast_shape", "canon")))
     return diffusion_schedule(
         T=int(diffusion_cfg["T"]),
         beta_0=float(diffusion_cfg["beta_0"]),
         beta_T=float(diffusion_cfg["beta_T"]),
-        beta=diffusion_cfg.get("beta"),
+        beta=beta,
         fast=fast,
         align=bool(diffusion_cfg.get("align", True)),
     )

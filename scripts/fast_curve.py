@@ -39,25 +39,16 @@ import jax  # noqa: E402
 ASSETS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "eval_assets")
 
-# DiffWave's published 6-step fast variance schedule (ref utils.py:133-135).
-FAST_BETA_6 = [0.0001, 0.001, 0.01, 0.05, 0.2, 0.5]
+# canonical DiffWave fast schedule + shape resampler — single source in
+# the package (diffusion/schedule.py); "canon" measured better than pure
+# log-spacing at matched T, see BASELINE.md round-5.
+from diffwave_sashimi_tpu.diffusion import FAST_BETA_6, fast_beta_list
+
+FAST_BETA_6 = list(FAST_BETA_6)
 
 
 def beta_list(T: int, shape: str = "geom"):
-    """Canonical list at T=6; otherwise either log-spaced over the same
-    endpoints ("geom") or the canonical list's SHAPE resampled at T points
-    ("canon": log-linear interpolation in index space — the canonical list
-    is steeper early and slower in the tail than pure geomspace, and that
-    shape measured better at matched T, see BASELINE.md round-5)."""
-    if T == 6:
-        return FAST_BETA_6
-    if shape == "canon":
-        xs = np.linspace(0.0, len(FAST_BETA_6) - 1, T)
-        return [float(b) for b in
-                np.exp(np.interp(xs, np.arange(len(FAST_BETA_6)),
-                                 np.log(FAST_BETA_6)))]
-    return [float(b) for b in np.geomspace(FAST_BETA_6[0], FAST_BETA_6[-1],
-                                           T)]
+    return fast_beta_list(T, shape)
 
 
 def main():

@@ -25,6 +25,42 @@ def test_canonical_list_is_identity_at_t6():
     np.testing.assert_allclose(canon_beta(6), FAST_BETA_6, rtol=1e-12)
 
 
+def test_package_is_single_source():
+    from diffwave_sashimi_tpu.diffusion import (FAST_BETA_6 as PKG6,
+                                                fast_beta_list)
+    assert list(PKG6) == FAST_BETA_6
+    for T, shape in ((12, "canon"), (8, "geom")):
+        assert fast_beta_list(T, shape) == beta_list(T, shape)
+    assert fast_beta_list(12, "canon") == canon_beta(12)
+    import pytest
+    with pytest.raises(ValueError):
+        fast_beta_list(12, "nope")
+
+
+def test_schedule_from_cfg_fast_steps():
+    """`+diffusion.fast_steps=12` synthesizes the canon schedule; an
+    explicit beta list still wins; fast=False ignores it."""
+    from diffwave_sashimi_tpu.diffusion import (fast_beta_list,
+                                                schedule_from_cfg)
+    base = {"T": 200, "beta_0": 1e-4, "beta_T": 0.02, "beta": None}
+    s = schedule_from_cfg({**base, "fast_steps": 12}, fast=True)
+    assert s.T == 12
+    np.testing.assert_allclose(np.asarray(s.beta),
+                               fast_beta_list(12, "canon"), rtol=1e-6)
+    assert s.t_embed is not None and s.t_embed.shape == (12,)
+    s_geom = schedule_from_cfg({**base, "fast_steps": 12,
+                                "fast_shape": "geom"}, fast=True)
+    np.testing.assert_allclose(np.asarray(s_geom.beta),
+                               fast_beta_list(12, "geom"), rtol=1e-6)
+    # explicit beta list takes precedence over fast_steps
+    s_beta = schedule_from_cfg({**base, "beta": FAST_BETA_6,
+                                "fast_steps": 12}, fast=True)
+    assert s_beta.T == 6
+    # not a fast build: the full linear schedule, fast_steps ignored
+    s_full = schedule_from_cfg({**base, "fast_steps": 12}, fast=False)
+    assert s_full.T == 200 and s_full.t_embed is None
+
+
 def test_canon_shape_properties():
     for T in (4, 8, 12, 16):
         b = canon_beta(T)
