@@ -53,9 +53,9 @@ def pytest_collection_modifyitems(config, items):
     reference torch model dominates suite time on this 1-core box.  Heavy
     non-oracle modules (multi-device training, end-to-end pipelines) carry
     an explicit module-level ``pytestmark`` instead.  Fast lane:
-    ``pytest -m 'not slow'`` (139 passed; measured 2026-08-20 on this
+    ``pytest -m 'not slow'`` (~145 tests; measured 2026-08-20 on this
     1-core box: 15m55 cold / 6m06 warm cache); full lane: plain
-    ``pytest`` (190 passed + 8 skipped, 21m38 warm measured).
+    ``pytest`` (196 passed + 8 skipped, 16m51 warm measured).
 
     Also front-load the compile-heavy modules (see _COMPILE_HEAVY_FIRST)."""
     for item in items:
