@@ -183,7 +183,10 @@ def main():
             prev = json.load(f)
         trend = prev.get("trend_T200", [])
 
-    artifact = {
+    # start from the previous artifact so auxiliary keys written by other
+    # modes (e.g. final_large_n from --large-n) survive a t6-only update
+    artifact = dict(prev)
+    artifact.update({
         "protocol": "synthetic SC09-style corpus (eval/synth.py seed 0); "
                     "classifier eval_assets/classifier_synth.pkl; "
                     "FID/IS via eval/sc09_eval.score",
@@ -199,7 +202,7 @@ def main():
         "n_generated": args.n_gen,
         "train_wall_s": prev.get("train_wall_s", round(t_train, 1)),
         "wall_s": round(time.time() - t0, 1),
-    }
+    })
     out = os.path.join(ASSETS, args.out)
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
